@@ -1,0 +1,155 @@
+"""Mention detection + surface extraction over transcript text.
+
+Replaces the reference's per-record Python NLP/enrichment hop
+(``neo4j_pubmed_batch_embeddings_processor.py:67-328`` parses records one
+at a time in the driver) with a single Arrow-batched ``mapInPandas``
+stage: a greedy longest-match dictionary automaton built once per
+executor from a broadcast surface list scans each text batch.
+
+Scale notes:
+* No shuffle — extraction is embarrassingly parallel over the
+  conv_id-hash bucketed input partitions.
+* The dictionary is broadcast once (ontology lexicons are MB-scale, like
+  the reference's OBO files); the per-executor automaton is cached via
+  the broadcast value identity.
+* Matching is pure Python over tokens but batch-amortized; for very wide
+  dictionaries swap in a real Aho–Corasick automaton — the operator
+  contract (text → array<mention>) stays identical.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TOKEN_RE = re.compile(r"\S+")
+
+_MENTION_OUT = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("surface", T.StringType(), False),
+        T.StructField("start", T.IntegerType(), False),
+        T.StructField("end", T.IntegerType(), False),
+    ]
+)
+
+
+def build_matcher(surfaces: list[str]) -> dict[str, list[tuple[tuple[str, ...], str]]]:
+    """first-token → [(token_tuple, canonical_surface)], longest first.
+
+    Greedy longest-match-first is the deterministic tie-break (the
+    reference's MERGE-based loaders are first-writer-wins; we replace
+    order-dependence with an explicit rule — SURVEY.md §7.5.2).
+    """
+    index: dict[str, list[tuple[tuple[str, ...], str]]] = {}
+    for s in surfaces:
+        toks = tuple(s.lower().split())
+        if not toks:
+            continue
+        index.setdefault(toks[0], []).append((toks, " ".join(toks)))
+    for head in index:
+        index[head].sort(key=lambda p: len(p[0]), reverse=True)
+    return index
+
+
+def find_mentions(text: str, index: dict[str, list[tuple[tuple[str, ...], str]]]):
+    """Greedy non-overlapping longest-match scan; yields (surface, start, end).
+
+    start/end are token offsets (stable across whitespace normalization,
+    which keeps the per-turn text-equality invariant decoupled from
+    offsets).
+    """
+    toks = [m.group(0).lower() for m in _TOKEN_RE.finditer(text)]
+    out = []
+    i, n = 0, len(toks)
+    while i < n:
+        cands = index.get(toks[i])
+        matched = False
+        if cands:
+            for pat, canon in cands:
+                L = len(pat)
+                if i + L <= n and tuple(toks[i : i + L]) == pat:
+                    out.append((canon, i, i + L))
+                    i += L
+                    matched = True
+                    break
+        if not matched:
+            i += 1
+    return out
+
+
+def extract_mentions(transcripts: DataFrame, surfaces: list[str]) -> DataFrame:
+    """transcripts → one row per detected mention (exploded).
+
+    Output: (conv_id, turn_idx, role, surface, start, end). Linking to
+    term_ids happens downstream as a broadcast join (operators.link) so
+    the Python stage stays a pure text op.
+    """
+    spark = transcripts.sparkSession
+    bc = spark.sparkContext.broadcast(sorted(set(surfaces)))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        index = build_matcher(bc.value)
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "conv_id": [],
+                "turn_idx": [],
+                "role": [],
+                "surface": [],
+                "start": [],
+                "end": [],
+            }
+            for conv, tidx, role, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["role"], pdf["text"]
+            ):
+                if not isinstance(text, str) or not text:
+                    continue
+                for surface, s, e in find_mentions(text, index):
+                    rows["conv_id"].append(conv)
+                    rows["turn_idx"].append(int(tidx))
+                    rows["role"].append(role)
+                    rows["surface"].append(surface)
+                    rows["start"].append(s)
+                    rows["end"].append(e)
+            yield pd.DataFrame(rows)
+
+    cols = ["conv_id", "turn_idx", "role", "text"]
+    return transcripts.select(*cols).mapInPandas(run, schema=_MENTION_OUT)
+
+
+def hash_embedding(df: DataFrame, text_col: str = "text", dim: int = 64) -> DataFrame:
+    """Deterministic hash 'embedding' — the torch-free stand-in for the
+    reference's BERT encode (``neo4j_pubmed_batch_embeddings_processor.py:
+    382-452``): tokenizing + feature hashing + L2 normalize, as an
+    Arrow-batched pandas UDF (Series → Series of array<float>).
+
+    Empty text → zero vector (``neo4j_cancerkg_builder.py:151-152``).
+    """
+    import zlib
+
+    import numpy as np
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def embed(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            v = np.zeros(dim, dtype=np.float32)
+            if isinstance(t, str) and t:
+                for tok in t.lower().split():
+                    # crc32, not hash(): stable across executors/processes
+                    h = zlib.crc32(tok.encode("utf-8")) & 0x7FFFFFFF
+                    v[h % dim] += 1.0 if (h >> 16) & 1 else -1.0
+                n = float(np.linalg.norm(v))
+                if n > 0:
+                    v /= n
+            out.append(v.tolist())
+        return pd.Series(out)
+
+    return df.withColumn("embedding", embed(F.col(text_col)))

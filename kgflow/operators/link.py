@@ -1,0 +1,69 @@
+"""Entity linking: surface strings → lexicon term ids via broadcast joins.
+
+Re-expresses the reference's MERGE-by-business-key entity resolution
+(``cql/import/cosmic/import_cosmic_mutant_census.cql:36-38`` MATCH dim by
+key then MERGE edge) as explicit broadcast hash joins (SURVEY.md §2.3 J1).
+
+Key hygiene is applied on BOTH sides before the join — the reference had
+to ship a remediation script for whitespace-polluted keys
+(``cql/remediation/remediate_uniprot_pubmed_ids.cql:8-26``); we normalize
+at build time (SURVEY.md §2.8 C6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def surface_dim(terms: DataFrame) -> DataFrame:
+    """Lexicon terms → (surface, term_id, namespace) link dimension.
+
+    * name + each synonym becomes a surface (pipe-split semantics of
+      ``cql/import/import_hgnc.cql:34-38`` already normalized to arrays).
+    * surfaces trimmed + lower-cased (C6 hygiene).
+    * obsolete terms are excluded — they must not link
+      (``import_go_obo.py:105``).
+    * one winner per surface: deterministic min(term_id) tie-break
+      replaces MERGE first-writer-wins (SURVEY.md §7.5.2).
+    """
+    live = terms.filter(~F.coalesce(F.col("is_obsolete"), F.lit(False)))
+    surfaces = live.select(
+        F.explode(
+            F.array_union(F.array(F.col("name")), F.coalesce(F.col("synonyms"), F.array()))
+        ).alias("surface_raw"),
+        "term_id",
+        "namespace",
+    )
+    cleaned = surfaces.select(
+        F.lower(F.trim(F.col("surface_raw"))).alias("surface"), "term_id", "namespace"
+    ).filter(F.col("surface") != "")
+    return cleaned.groupBy("surface").agg(
+        F.min("term_id").alias("term_id"),
+        F.min_by("namespace", "term_id").alias("namespace"),
+    )
+
+
+def link_mentions(mentions: DataFrame, dim: DataFrame) -> DataFrame:
+    """mentions (surface) ⨝ broadcast(dim) → linked mentions with term_id.
+
+    Inner join: unlinkable surfaces are dropped, matching the reference's
+    MATCH-then-MERGE (edge only emitted when the dim row exists, J1/J2).
+    """
+    return mentions.join(F.broadcast(dim), "surface", "inner")
+
+
+def alt_id_edges(terms: DataFrame) -> DataFrame:
+    """Same-as links (term_id ↔ alt_id) for canonicalization input.
+
+    Generalization of the Gene↔biolink:Gene consolidation
+    (``cql/remediation/remediate_gene_node.cql:5-52``).
+    """
+    return (
+        terms.select("term_id", F.explode("alt_ids").alias("alt_id"))
+        .select(
+            F.col("term_id").alias("id_a"),
+            F.col("alt_id").alias("id_b"),
+        )
+        .filter(F.col("id_b").isNotNull() & (F.trim("id_b") != ""))
+    )

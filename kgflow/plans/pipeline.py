@@ -1,0 +1,182 @@
+"""End-to-end KG-construction DAG.
+
+transcripts → mentions → linked mentions → (subj, pred, obj) triples →
+canonicalization → deduped triples + node table.
+
+Emitted triple families (the P/R comparison contract, mirrored
+byte-for-byte by ``kgflow.reference_oracle``):
+
+=================  ==========================================  ==========================================
+predicate          subj → obj                                  reference analogue
+=================  ==========================================  ==========================================
+``MENTIONS``       ``turn:<conv>:<idx>`` → term                PubMedArticle→MeshTerm ``HAS_MESH_TERM``
+                                                               (``PubMedAbstractEmbedding.py:205-210``)
+``HAS_<NS>``       ``conv:<conv>`` → term (NS=upper namespace) gene→GOTerm ``HAS_<upper(go ns)>``
+                                                               (``cql/import/uniprot/uniprot_relationships.cql:11-37``)
+``CO_OCCURS_WITH`` term ↔ term, least/greatest canonical       ``INTERACTS_WITH`` symmetric dedup
+                                                               (``cql/import/uniprot/uniprot_intact.cql:30-39``)
+``NEXT_TURN``      turn → following turn in conversation       stable (conv_id, turn_idx) ordering
+                                                               invariant (BASELINE.json input_hint)
+``IS_A``/dynamic   term → term, upper-cased, ``:``/space→``_`` OBO hierarchy (``import_go_obo.py:125-143,
+                                                               248-258``; ``import_squence_ontology_obo.py:98``)
+=================  ==========================================  ==========================================
+
+All term endpoints are rewritten through the connected-components
+canonical mapping derived from alt_id same-as links before the final
+global dedup (MERGE-idempotence, C2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators import canon, extract, link
+
+
+def normalize_predicate(col):
+    """upper-case + ``:``/space → ``_`` (import_go_obo.py:256,
+    import_squence_ontology_obo.py:98)."""
+    return F.upper(F.regexp_replace(F.trim(col), "[: ]", "_"))
+
+
+def lexicon_surfaces(terms: DataFrame) -> list[str]:
+    """Collect the (small, dimension-scale) surface list for broadcast."""
+    rows = (
+        terms.filter(~F.coalesce("is_obsolete", F.lit(False)))
+        .select(
+            F.explode(
+                F.array_union(F.array("name"), F.coalesce("synonyms", F.array()))
+            ).alias("s")
+        )
+        .select(F.lower(F.trim("s")).alias("s"))
+        .filter(F.col("s") != "")
+        .distinct()
+        .collect()
+    )
+    return [r.s for r in rows]
+
+
+def build_triples(
+    transcripts: DataFrame,
+    terms: DataFrame,
+    isa_edges: DataFrame,
+) -> DataFrame:
+    """The full extraction DAG; returns the deduped triple table."""
+    surfaces = lexicon_surfaces(terms)
+    dim = link.surface_dim(terms)
+
+    mentions = extract.extract_mentions(transcripts, surfaces)
+    linked = link.link_mentions(mentions, dim)
+
+    # canonical mapping from alt-id same-as chains
+    same_as = link.alt_id_edges(terms)
+    mapping = canon.connected_components(same_as)
+
+    linked = canon.apply_canonical(linked, mapping, ["term_id"]).localCheckpoint(
+        eager=True
+    )
+
+    turn_uri = F.concat(F.lit("turn:"), "conv_id", F.lit(":"), F.col("turn_idx"))
+    conv_uri = F.concat(F.lit("conv:"), "conv_id")
+
+    mentions_triples = linked.select(
+        turn_uri.alias("subj"), F.lit("MENTIONS").alias("pred"), F.col("term_id").alias("obj")
+    )
+
+    has_ns_triples = linked.select(
+        conv_uri.alias("subj"),
+        F.concat(F.lit("HAS_"), F.upper("namespace")).alias("pred"),
+        F.col("term_id").alias("obj"),
+    )
+
+    # within-turn co-occurrence: self-join per turn on distinct terms
+    per_turn = linked.select("conv_id", "turn_idx", "term_id").dropDuplicates()
+    l = per_turn.alias("l")
+    r = per_turn.alias("r")
+    co = (
+        l.join(r, ["conv_id", "turn_idx"])
+        .filter(F.col("l.term_id") < F.col("r.term_id"))
+        .select(
+            F.col("l.term_id").alias("subj"),
+            F.lit("CO_OCCURS_WITH").alias("pred"),
+            F.col("r.term_id").alias("obj"),
+        )
+    )
+
+    # stable-ordering NEXT_TURN edges (reuses the conv partitioning)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    nxt = (
+        transcripts.select("conv_id", "turn_idx")
+        .withColumn("next_idx", F.lead("turn_idx").over(w))
+        .filter(F.col("next_idx").isNotNull())
+        .select(
+            F.concat(F.lit("turn:"), "conv_id", F.lit(":"), F.col("turn_idx")).alias("subj"),
+            F.lit("NEXT_TURN").alias("pred"),
+            F.concat(F.lit("turn:"), "conv_id", F.lit(":"), F.col("next_idx")).alias("obj"),
+        )
+    )
+
+    onto = isa_edges.select(
+        F.trim("subject_id").alias("subj"),
+        normalize_predicate(F.col("predicate")).alias("pred"),
+        F.trim("object_id").alias("obj"),
+    )
+    onto = canon.apply_canonical(onto, mapping, ["subj", "obj"])
+
+    triples = (
+        mentions_triples.unionByName(has_ns_triples)
+        .unionByName(co)
+        .unionByName(nxt)
+        .unionByName(onto)
+        .dropDuplicates(["subj", "pred", "obj"])
+    )
+    return triples
+
+
+def build_nodes(triples: DataFrame, terms: DataFrame) -> DataFrame:
+    """Node table: typed nodes for every triple endpoint.
+
+    Endpoints with a lexicon row are ``resolved=true`` with props; the
+    rest get stub rows (placeholder-node protocol,
+    ``neo4j_cancerkg_builder.py:124-139``).
+    """
+    endpoints = (
+        triples.select(F.col("subj").alias("id"))
+        .union(triples.select("obj"))
+        .distinct()
+    )
+    labeled = endpoints.withColumn(
+        "label",
+        F.when(F.col("id").startswith("turn:"), F.lit("Turn"))
+        .when(F.col("id").startswith("conv:"), F.lit("Conversation"))
+        .otherwise(F.lit("Term")),
+    )
+    term_props = terms.select(
+        F.col("term_id").alias("id"),
+        F.create_map(
+            F.lit("name"), F.col("name"), F.lit("namespace"), F.col("namespace")
+        ).alias("props"),
+    )
+    return (
+        labeled.join(F.broadcast(term_props), "id", "left")
+        .select(
+            "id",
+            "label",
+            "props",
+            (F.col("props").isNotNull() | (F.col("label") != "Term")).alias("resolved"),
+        )
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    terms: DataFrame,
+    isa_edges: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (triples, nodes)."""
+    triples = build_triples(transcripts, terms, isa_edges)
+    nodes = build_nodes(triples, terms)
+    return triples, nodes
