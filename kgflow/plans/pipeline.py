@@ -62,8 +62,16 @@ def build_triples(
     transcripts: DataFrame,
     terms: DataFrame,
     isa_edges: DataFrame,
+    with_src: bool = False,
 ) -> DataFrame:
-    """The full extraction DAG; returns the deduped triple table."""
+    """The full extraction DAG; returns the deduped triple table.
+
+    ``with_src=True`` keeps a ``src_conv`` provenance column (null for
+    ontology triples) and dedups per (subj, pred, obj, src_conv) —
+    used by the bucket-resumable writer so every transcript-derived
+    triple lands in its source conversation's bucket; the global
+    triple-set view dedups on read.
+    """
     surfaces = lexicon_surfaces(terms)
     dim = link.surface_dim(terms)
 
@@ -80,15 +88,20 @@ def build_triples(
 
     turn_uri = F.concat(F.lit("turn:"), "conv_id", F.lit(":"), F.col("turn_idx"))
     conv_uri = F.concat(F.lit("conv:"), "conv_id")
+    src = F.col("conv_id").alias("src_conv")
 
     mentions_triples = linked.select(
-        turn_uri.alias("subj"), F.lit("MENTIONS").alias("pred"), F.col("term_id").alias("obj")
+        turn_uri.alias("subj"),
+        F.lit("MENTIONS").alias("pred"),
+        F.col("term_id").alias("obj"),
+        src,
     )
 
     has_ns_triples = linked.select(
         conv_uri.alias("subj"),
         F.concat(F.lit("HAS_"), F.upper("namespace")).alias("pred"),
         F.col("term_id").alias("obj"),
+        src,
     )
 
     # within-turn co-occurrence: self-join per turn on distinct terms
@@ -102,6 +115,7 @@ def build_triples(
             F.col("l.term_id").alias("subj"),
             F.lit("CO_OCCURS_WITH").alias("pred"),
             F.col("r.term_id").alias("obj"),
+            F.col("conv_id").alias("src_conv"),
         )
     )
 
@@ -115,6 +129,7 @@ def build_triples(
             F.concat(F.lit("turn:"), "conv_id", F.lit(":"), F.col("turn_idx")).alias("subj"),
             F.lit("NEXT_TURN").alias("pred"),
             F.concat(F.lit("turn:"), "conv_id", F.lit(":"), F.col("next_idx")).alias("obj"),
+            F.col("conv_id").alias("src_conv"),
         )
     )
 
@@ -122,6 +137,7 @@ def build_triples(
         F.trim("subject_id").alias("subj"),
         normalize_predicate(F.col("predicate")).alias("pred"),
         F.trim("object_id").alias("obj"),
+        F.lit(None).cast("string").alias("src_conv"),
     )
     onto = canon.apply_canonical(onto, mapping, ["subj", "obj"])
 
@@ -130,9 +146,10 @@ def build_triples(
         .unionByName(co)
         .unionByName(nxt)
         .unionByName(onto)
-        .dropDuplicates(["subj", "pred", "obj"])
     )
-    return triples
+    if with_src:
+        return triples.dropDuplicates(["subj", "pred", "obj", "src_conv"])
+    return triples.drop("src_conv").dropDuplicates(["subj", "pred", "obj"])
 
 
 def build_nodes(triples: DataFrame, terms: DataFrame) -> DataFrame:

@@ -1,0 +1,104 @@
+"""Canonicalization operators: connected components, pair canonical form,
+duplicate-group resolution. Includes a hypothesis property test."""
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kgflow.operators import canon
+
+
+def test_connected_components_chain(spark):
+    """A↔B, B↔C chains collapse to min-id canonical (FIXTURES.md §8)."""
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("c", "d"), ("x", "y"), ("z", "z2"), ("z2", "z3")],
+        "id_a string, id_b string",
+    )
+    got = {(r.id, r.canonical_id) for r in canon.connected_components(edges).collect()}
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+        ("x", "x"), ("y", "x"),
+        ("z", "z"), ("z2", "z"), ("z3", "z"),
+    }
+
+
+def test_connected_components_hub_skew(spark):
+    """One hub with high degree (skew test) still resolves in few rounds."""
+    rows = [("hub", f"leaf{i:03d}") for i in range(200)] + [
+        (f"leaf{i:03d}", f"leaf2_{i:03d}") for i in range(50)
+    ]
+    edges = spark.createDataFrame(rows, "id_a string, id_b string")
+    cc = canon.connected_components(edges)
+    n_components = cc.select("canonical_id").distinct().count()
+    assert n_components == 1
+    assert cc.count() == 251  # hub + 200 leaves + 50 leaf2 nodes
+
+
+def test_connected_components_long_path(spark):
+    """Pointer doubling: a 64-node path converges within max_iter=25."""
+    rows = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(63)]
+    edges = spark.createDataFrame(rows, "id_a string, id_b string")
+    cc = canon.connected_components(edges, max_iter=10)
+    assert cc.select("canonical_id").distinct().collect()[0][0] == "n000"
+    assert cc.count() == 64
+
+
+def test_canonical_pairs(spark):
+    df = spark.createDataFrame(
+        [("b", "a"), ("a", "b"), ("a", "a"), ("c", "b")], "x string, y string"
+    )
+    got = {tuple(r) for r in canon.canonical_pairs(df, "x", "y").collect()}
+    assert got == {("a", "b"), ("b", "c")}
+
+
+def test_dedup_keep_first(spark):
+    df = spark.createDataFrame(
+        [("k1", 3, "x"), ("k1", 1, "y"), ("k2", 5, "z")],
+        "key string, seq int, val string",
+    )
+    got = {tuple(r) for r in canon.dedup_keep_first(df, ["key"], [F.asc("seq")]).collect()}
+    assert got == {("k1", 1, "y"), ("k2", 5, "z")}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_cc_matches_union_find(spark, pairs):
+    """Property: Spark CC == driver-side union-find on random graphs."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = set()
+    rows = []
+    for a, b in pairs:
+        sa, sb = f"n{a:02d}", f"n{b:02d}"
+        if sa == sb:
+            continue
+        rows.append((sa, sb))
+        ids.update((sa, sb))
+        ra, rb = find(sa), find(sb)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    if not rows:
+        return
+    expected = {}
+    for x in ids:
+        r = find(x)
+        expected.setdefault(r, set()).add(x)
+    exp_map = {x: min(members) for members in expected.values() for x in members}
+
+    edges = spark.createDataFrame(pd.DataFrame(rows, columns=["id_a", "id_b"]))
+    got = {(r.id, r.canonical_id) for r in canon.connected_components(edges).collect()}
+    assert got == set(exp_map.items())

@@ -1,0 +1,85 @@
+"""Resumable checkpointing: resume-equals-fresh, skip-completed, upsert."""
+
+from pyspark.sql import functions as F
+
+from kgflow.plans import checkpoint as cp
+from kgflow.plans import materialize as mat
+
+
+def _triple_set(spark, out_dir):
+    return {tuple(r) for r in cp.read_triples(spark, out_dir).collect()}
+
+
+def test_resume_equals_fresh(spark, transcripts, lexicon, tmp_path):
+    """Kill after k buckets → resume → identical to a fresh full run."""
+    terms, isa = lexicon
+    fresh_dir = str(tmp_path / "fresh")
+    rep = cp.run_resumable(spark, transcripts, terms, isa, fresh_dir, buckets=8)
+    assert rep.processed_buckets == rep.total_buckets
+    fresh = _triple_set(spark, fresh_dir)
+    assert fresh
+
+    crash_dir = str(tmp_path / "crash")
+    rep1 = cp.run_resumable(
+        spark, transcripts, terms, isa, crash_dir, buckets=8, fail_after_buckets=3
+    )
+    assert rep1.processed_buckets == 3
+    rep2 = cp.run_resumable(spark, transcripts, terms, isa, crash_dir, buckets=8)
+    assert rep2.skipped_buckets == 3
+    assert rep2.processed_buckets == rep2.total_buckets - 3
+    assert _triple_set(spark, crash_dir) == fresh
+
+
+def test_completed_run_skips_everything(spark, transcripts, lexicon, tmp_path):
+    terms, isa = lexicon
+    d = str(tmp_path / "done")
+    cp.run_resumable(spark, transcripts, terms, isa, d, buckets=8)
+    rep = cp.run_resumable(spark, transcripts, terms, isa, d, buckets=8)
+    assert rep.processed_buckets == 0
+    assert rep.skipped_buckets == rep.total_buckets
+
+
+def test_changed_bucket_reprocessed(spark, transcripts, lexicon, tmp_path):
+    """Fingerprint mismatch → only the changed bucket re-runs."""
+    terms, isa = lexicon
+    d = str(tmp_path / "chg")
+    cp.run_resumable(spark, transcripts, terms, isa, d, buckets=8)
+    # mutate one conversation's text → its bucket's fingerprint changes
+    mutated = transcripts.withColumn(
+        "text",
+        F.when(F.col("conv_id") == "conv-000000", F.concat(F.col("text"), F.lit(" zzz")))
+        .otherwise(F.col("text")),
+    )
+    rep = cp.run_resumable(spark, mutated, terms, isa, d, buckets=8)
+    assert rep.processed_buckets == 1
+
+
+def test_ledger_lineage_counts(spark, transcripts, lexicon, tmp_path):
+    terms, isa = lexicon
+    d = str(tmp_path / "lin")
+    cp.run_resumable(spark, transcripts, terms, isa, d, buckets=8)
+    ledger = cp.read_ledger(spark, d)
+    assert ledger is not None
+    rows = ledger.collect()
+    assert all(r.status == "done" for r in rows)
+    assert sum(r.rows_in for r in rows) == transcripts.count()
+    assert all(r.input_fingerprint for r in rows)
+
+
+def test_materialize_upsert(spark, tmp_path):
+    """MERGE semantics on the parquet fallback sink."""
+    path = str(tmp_path / "nodes")
+    b1 = spark.createDataFrame([("a", "v1"), ("b", "v1")], "id string, val string")
+    mat.upsert(b1, path, ["id"])
+    b2 = spark.createDataFrame([("b", "v2"), ("c", "v2")], "id string, val string")
+    mat.upsert(b2, path, ["id"])
+    got = {
+        (r.id, r.val) for r in mat.read_table(spark, path).select("id", "val").collect()
+    }
+    assert got == {("a", "v1"), ("b", "v2"), ("c", "v2")}
+    # idempotent re-apply
+    mat.upsert(b2, path, ["id"])
+    got2 = {
+        (r.id, r.val) for r in mat.read_table(spark, path).select("id", "val").collect()
+    }
+    assert got2 == got

@@ -1,0 +1,91 @@
+"""End-to-end pipeline correctness: P/R vs the pandas reference oracle,
+plus the invariants the reference's CQL verification blocks check
+(SURVEY.md §5.2)."""
+
+from pyspark.sql import functions as F
+
+from kgflow import reference_oracle as ro
+from kgflow.plans import pipeline
+
+
+def _got_triples(spark, transcripts, lexicon):
+    terms, isa = lexicon
+    triples, nodes = pipeline.run_pipeline(spark, transcripts, terms, isa)
+    return triples, nodes
+
+
+def test_triple_pr_vs_reference_oracle(spark, transcripts, lexicon, lexicon_pdf):
+    terms_pdf, isa_pdf = lexicon_pdf
+    triples, _ = _got_triples(spark, transcripts, lexicon)
+    got = {(r.subj, r.pred, r.obj) for r in triples.collect()}
+    exp = ro.expected_triples(transcripts.toPandas(), terms_pdf, isa_pdf)
+    p, r = ro.precision_recall(got, exp)
+    # both sides deterministic → exact match (target is ≥0.95)
+    assert p == 1.0 and r == 1.0, (p, r, len(got), len(exp))
+
+
+def test_triples_unique(spark, transcripts, lexicon):
+    triples, _ = _got_triples(spark, transcripts, lexicon)
+    total = triples.count()
+    distinct = triples.dropDuplicates(["subj", "pred", "obj"]).count()
+    assert total == distinct
+
+
+def test_no_reciprocal_symmetric_edges(spark, transcripts, lexicon):
+    """uniprot_intact.cql:54-58 invariant: zero reciprocal pairs."""
+    triples, _ = _got_triples(spark, transcripts, lexicon)
+    co = triples.filter(F.col("pred") == "CO_OCCURS_WITH")
+    a = co.select("subj", "obj")
+    b = co.select(F.col("obj").alias("subj"), F.col("subj").alias("obj"))
+    assert a.join(b, ["subj", "obj"]).count() == 0
+    # and all pairs are canonically ordered
+    assert co.filter(F.col("subj") >= F.col("obj")).count() == 0
+
+
+def test_obsolete_terms_never_link(spark, transcripts, lexicon):
+    """import_go_obo.py:105 — obsolete terms must not receive mentions."""
+    terms, _ = lexicon
+    triples, _ = _got_triples(spark, transcripts, lexicon)
+    obsolete = [r.term_id for r in terms.filter("is_obsolete").collect()]
+    hits = triples.filter(F.col("pred") == "MENTIONS").filter(
+        F.col("obj").isin(obsolete)
+    )
+    assert hits.count() == 0
+
+
+def test_idempotent_rerun(spark, transcripts, lexicon):
+    """MERGE semantics: running the import twice yields identical sets."""
+    t1, _ = _got_triples(spark, transcripts, lexicon)
+    t2, _ = _got_triples(spark, transcripts, lexicon)
+    s1 = {tuple(r) for r in t1.collect()}
+    s2 = {tuple(r) for r in t2.collect()}
+    assert s1 == s2
+
+
+def test_nodes_cover_all_endpoints(spark, transcripts, lexicon):
+    triples, nodes = _got_triples(spark, transcripts, lexicon)
+    endpoints = triples.select(F.col("subj").alias("id")).union(
+        triples.select("obj")
+    ).distinct()
+    missing = endpoints.join(nodes, "id", "left_anti").count()
+    assert missing == 0
+    # node ids unique per (label,id)
+    assert nodes.count() == nodes.dropDuplicates(["label", "id"]).count()
+
+
+def test_per_turn_text_equality_roundtrip(spark, transcripts, tmp_path):
+    """input_hint invariant: per-turn text byte-equality under stable
+    (conv_id, turn_idx) ordering after a staging round-trip."""
+    path = str(tmp_path / "staged")
+    (
+        transcripts.withColumn("bucket", F.pmod(F.xxhash64("conv_id"), F.lit(8)).cast("int"))
+        .repartition("bucket")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    orig = transcripts.orderBy("conv_id", "turn_idx").select("conv_id", "turn_idx", "text").collect()
+    rt = back.orderBy("conv_id", "turn_idx").select("conv_id", "turn_idx", "text").collect()
+    assert orig == rt
