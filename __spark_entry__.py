@@ -1,38 +1,979 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship KG-materialization query on sf0.001.
+``queries()``   — one named query per implemented operator family from
+                  SURVEY.md §2 (+ training-data-pipeline operators).
+``oracle_sql()``— the DuckDB-equivalent ANSI SQL for each query.
+
+Column names are aliased identically on both sides; aggregates are cast
+explicitly (DuckDB sums promote to HUGEINT otherwise); hashes are md5
+(portable across engines); float scores fold left-to-right in float64
+and round to 4 dp on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kgflow.functions import text as tx  # noqa: E402
+from kgflow.operators import dedup, sessionize, vector  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# flagship: KG materialization over the star schema (SURVEY.md §3.3 shape)
+# ---------------------------------------------------------------------------
+
+
+def star_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(subj, pred, obj) edge families from the relational star schema —
+    the testdata analogue of the citation-graph build
+    (neo4j_citation_relationship_builder.py:107-163): FK → edge, MERGE →
+    dropDuplicates."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+
+    def uri(prefix: str, col) -> F.Column:
+        return F.concat(F.lit(prefix + ":"), F.col(col).cast("string"))
+
+    placed = orders.select(
+        uri("cust", "o_custkey").alias("subj"),
+        F.lit("PLACED").alias("pred"),
+        uri("order", "o_orderkey").alias("obj"),
+    )
+    contains = lineitem.select(
+        uri("order", "l_orderkey").alias("subj"),
+        F.lit("CONTAINS").alias("pred"),
+        uri("part", "l_partkey").alias("obj"),
+    )
+    supplied = lineitem.select(
+        uri("order", "l_orderkey").alias("subj"),
+        F.lit("SUPPLIED_BY").alias("pred"),
+        uri("supplier", "l_suppkey").alias("obj"),
+    )
+    cust_nation = customer.select(
+        uri("cust", "c_custkey").alias("subj"),
+        F.lit("LOCATED_IN").alias("pred"),
+        uri("nation", "c_nationkey").alias("obj"),
+    )
+    supp_nation = supplier.select(
+        uri("supplier", "s_suppkey").alias("subj"),
+        F.lit("LOCATED_IN").alias("pred"),
+        uri("nation", "s_nationkey").alias("obj"),
+    )
+    nat_region = nation.select(
+        uri("nation", "n_nationkey").alias("subj"),
+        F.lit("PART_OF").alias("pred"),
+        uri("region", "n_regionkey").alias("obj"),
+    )
+    return (
+        placed.unionByName(contains)
+        .unionByName(supplied)
+        .unionByName(cust_nation)
+        .unionByName(supp_nation)
+        .unionByName(nat_region)
+        .dropDuplicates(["subj", "pred", "obj"])
+    )
+
+
+_STAR_TRIPLES_SQL = """
+WITH t AS (
+  SELECT DISTINCT 'cust:' || o_custkey AS subj, 'PLACED' AS pred,
+         'order:' || o_orderkey AS obj FROM orders
+  UNION
+  SELECT DISTINCT 'order:' || l_orderkey, 'CONTAINS', 'part:' || l_partkey FROM lineitem
+  UNION
+  SELECT DISTINCT 'order:' || l_orderkey, 'SUPPLIED_BY', 'supplier:' || l_suppkey FROM lineitem
+  UNION
+  SELECT DISTINCT 'cust:' || c_custkey, 'LOCATED_IN', 'nation:' || c_nationkey FROM customer
+  UNION
+  SELECT DISTINCT 'supplier:' || s_suppkey, 'LOCATED_IN', 'nation:' || s_nationkey FROM supplier
+  UNION
+  SELECT DISTINCT 'nation:' || n_nationkey, 'PART_OF', 'region:' || n_regionkey FROM nation
+)
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: materialize the star KG, count per predicate."""
+    triples = star_triples(spark, "/root/testdata/sf0.001")
+    return triples.groupBy("pred").agg(F.count(F.lit(1)).alias("n_triples")).orderBy("pred")
+
+
+# ---------------------------------------------------------------------------
+# relational operator queries (SURVEY.md §2.2–2.7)
+# ---------------------------------------------------------------------------
+
+
+def _dsum(col, scale: int = 2):
+    """Order-independent money sum: DECIMAL accumulate (exact, unlike
+    double whose value depends on partition summation order), then round
+    and surface as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast("decimal(28,6)")), scale).cast("double")
+
+
+def q_pricing_summary(spark, sf):
+    """A1/A4/A5: grouped sums/avgs with predicate (TPC-H Q1 shape)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_region_revenue(spark, sf):
+    """J1: fact ⨝ broadcast dims chain (customer→nation→region)."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            _dsum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q_left_join_counts(spark, sf):
+    """J2: optional-match semantics — customers keep row with 0 orders."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def q_anti_join(spark, sf):
+    """J7: customers with no orders (NOT exists)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_semi_join(spark, sf):
+    """J8: existence probe — parts that were actually shipped."""
+    p = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+        .select("p_partkey", "p_name")
+    )
+
+
+def q_two_hop(spark, sf):
+    """J9: bridge-entity chain supplier→nation→region."""
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+
+
+def q_symmetric_pairs(spark, sf):
+    """J6/C5: same-nation supplier pairs, canonical (least,greatest)."""
+    s = _t(spark, sf, "supplier")
+    a = s.select(F.col("s_nationkey").alias("nk"), F.col("s_suppkey").alias("a"))
+    b = s.select(F.col("s_nationkey").alias("nk"), F.col("s_suppkey").alias("b"))
+    return (
+        a.join(b, "nk")
+        .filter(F.col("a") < F.col("b"))
+        .select("nk", "a", "b")
+        .dropDuplicates()
+    )
+
+
+def q_explode_wordcount(spark, sf):
+    """J5/A6/P3: split→explode→count; top-20 words (deterministic ties)."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(F.explode(tx.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+def q_count_distinct(spark, sf):
+    """A2."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q_conditional_agg(spark, sf):
+    """A5: sum(CASE WHEN … THEN 1 ELSE 0 END)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("n_returned"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("n_discounted"),
+    )
+
+
+def q_having(spark, sf):
+    """A9: post-aggregation threshold filter."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+def q_collect_sorted(spark, sf):
+    """A6/SO3: set-aggregation with deterministic ordering."""
+    c = _t(spark, sf, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("c_mktsegment"))).alias("segments"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+def q_topk_orders(spark, sf):
+    """W1: global top-k with deterministic tie-break."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+        .limit(15)
+    )
+
+
+def q_topk_per_group(spark, sf):
+    """W2: per-group top-k via window row_number."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("o_orderpriority", "rank", "o_orderkey")
+    )
+
+
+def q_dedup_latest(spark, sf):
+    """C3: duplicate-group resolution — latest event per user."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+def q_lead_next_event(spark, sf):
+    """W5/W6-adjacent: lead() for successor linkage (NEXT_TURN shape)."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("next_event_id", F.lead("event_id").over(w))
+        .filter(F.col("next_event_id").isNotNull())
+        .select("user_id", "event_id", "next_event_id")
+    )
+
+
+def q_pagination(spark, sf):
+    """W3: keyset pagination ORDER BY key OFFSET/LIMIT."""
+    c = _t(spark, sf, "customer")
+    return (
+        c.orderBy("c_custkey")
+        .select("c_custkey", "c_name")
+        .offset(20)
+        .limit(10)
+    )
+
+
+def q_union_distinct(spark, sf):
+    """SO1: union + distinct of key sets."""
+    o = _t(spark, sf, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.union(b).distinct()
+
+
+def q_except(spark, sf):
+    """SO2: set difference — customers with orders but none urgent."""
+    o = _t(spark, sf, "orders")
+    all_c = o.select("o_custkey").distinct()
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    # subtract == EXCEPT (set) semantics; exceptAll would be bag-difference
+    return all_c.subtract(urgent)
+
+
+def q_string_hygiene(spark, sf):
+    """P2/P5/P7/P8: trim/lower/regexp_replace/concat key hygiene."""
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.lower(F.trim("p_name")).alias("name_clean"),
+        F.regexp_replace("p_type", "[^A-Z]", "").alias("type_caps"),
+        F.concat(F.lit("part://"), F.col("p_brand"), F.lit("/"), F.col("p_partkey").cast("string")).alias("part_uri"),
+        F.substring("p_name", 1, 10).alias("name_trunc"),
+    )
+
+
+def q_date_parts(spark, sf):
+    """§2.7 date: year/month extraction + aggregation."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            "o_totalprice",
+        )
+        .groupBy("yr", "mo")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+def q_case_decode(spark, sf):
+    """P9: CASE-based code→label enrichment."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "P", "pending")
+        .otherwise("unknown")
+        .alias("status_label"),
+    )
+
+
+def q_json_extract(spark, sf):
+    """§2.7 json: parse the props JSON column."""
+    e = _t(spark, sf, "events")
+    return (
+        e.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_cast_guard(spark, sf):
+    """P3/P11/P16 casts with null guards + empty→null."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("n_chars_d"),
+        F.when(F.trim("lang") == "", None).otherwise(F.col("lang")).alias("lang_norm"),
+        F.substring("text", 1, 50).alias("head"),
+    )
+
+
+def q_kg_star_triples(spark, sf):
+    """KG materialization (flagship, parameterized by sf)."""
+    return (
+        star_triples(spark, sf)
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("n_triples"))
+    )
+
+
+def q_degree_topk(spark, sf):
+    """A3/W1: out-degree analytics over the star KG (top-10 cited shape,
+    neo4j_citation_relationship_builder.py:359-370)."""
+    return (
+        star_triples(spark, sf)
+        .groupBy("subj")
+        .agg(F.count(F.lit(1)).alias("out_degree"))
+        .orderBy(F.desc("out_degree"), F.asc("subj"))
+        .limit(10)
+    )
+
+
+def q_cooccur_pattern(spark, sf):
+    """J10: co-pattern self-join — event-type pairs per user."""
+    e = _t(spark, sf, "events")
+    et = e.select("user_id", "event_type").dropDuplicates()
+    a = et.select("user_id", F.col("event_type").alias("et_a"))
+    b = et.select("user_id", F.col("event_type").alias("et_b"))
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("et_a") < F.col("et_b"))
+        .groupBy("et_a", "et_b")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# (continued in _TEXT_VECTOR_QUERIES below)
+
+# ---------------------------------------------------------------------------
+# training-data-pipeline queries (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark, sf):
+    """Exact dedup: md5-fingerprint groups with canonical min(doc_id)."""
+    return dedup.exact_duplicates(_t(spark, sf, "documents"))
+
+
+def q_minhash_pairs(spark, sf):
+    """MinHash+LSH candidate near-dup pairs (8 sigs, bands of 2)."""
+    return dedup.minhash_lsh_pairs(_t(spark, sf, "documents"))
+
+
+def q_jaccard_verify(spark, sf):
+    """n-gram Jaccard verify on the LSH candidates (integer inter/union)."""
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs)
+    return dedup.jaccard_verify(docs, pairs)
+
+
+def q_simhash(spark, sf):
+    """16-bit SimHash per document (JVM-side md5-nibble arithmetic)."""
+    return dedup.simhash16(_t(spark, sf, "documents"))
+
+
+def q_ann_brute_topk(spark, sf):
+    """Brute-force cosine top-5 for query vectors vec_id < 8."""
+    emb = _t(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return vector.brute_force_topk(
+        emb, queries_df, k=5, query_id_col="query_id"
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_ann_lsh_topk(spark, sf):
+    """Sign-LSH bucketed ANN top-5 (4 hyperplanes, seed 13)."""
+    emb = _t(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return vector.lsh_bucket_topk(
+        emb, queries_df, dim=64, k=5, n_planes=4, query_id_col="query_id"
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_embedding_neardup(spark, sf):
+    """Embedding-cosine near-duplicate pairs (threshold 0.2 — synthetic
+    vectors are near-orthogonal, so a high threshold returns nothing)."""
+    return dedup.embedding_near_duplicates(
+        _t(spark, sf, "embeddings"), threshold=0.2
+    )
+
+
+def q_text_stats(spark, sf):
+    """Token counting + stopword stats per language (integer-exact
+    aggregation → order-independent across engines)."""
+    d = _t(spark, sf, "documents")
+    toks = tx.tokens("text")
+    per_doc = d.select(
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: x.isin(tx.STOPWORDS))).alias("sw_hits"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.sum("n_tokens") / F.count(F.lit(1)), 4).alias("avg_tokens"),
+        F.round(F.sum("sw_hits") / F.sum("n_tokens"), 4).alias("stopword_ratio"),
+    )
+
+
+def q_lang_guess(spark, sf):
+    """Heuristic language ID (marker-word argmax) vs the labeled lang."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("lang", tx.lang_guess("text").alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_fingerprint(spark, sf):
+    """Document fingerprinting (md5 of normalized text)."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", tx.fingerprint("text").alias("fp"))
+
+
+def q_quality_score(spark, sf):
+    """Quality scoring aggregated by source (per-doc score is a pure
+    row function; the aggregate goes through a scaled-integer sum so
+    the result is independent of partition summation order)."""
+    d = _t(spark, sf, "documents")
+    per_doc = d.select(
+        "source",
+        F.round(tx.quality_score("text") * 10000, 0).cast("long").alias("q4"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.round(F.sum("q4") / (F.count(F.lit(1)) * 10000), 4).alias("avg_quality"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q_sessionize(spark, sf):
+    """Gap-based sessionization stats per user (30-min timeout)."""
+    return sessionize.session_stats(_t(spark, sf, "events"))
+
+
+def q_multimodal_stub(spark, sf):
+    """Multimodal plumbing: binary payload column + metadata extraction
+    via mapInPandas. The 'decode' is a deterministic fake (no image libs
+    in this container — clearly marked); schema/partitioning/batch shape
+    are real. NO oracle entry → driver records rows-only."""
+    import pandas as pd  # noqa: PLC0415
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.to_binary(F.md5("text"), F.lit("hex")).alias("payload"),
+        F.lit("image/fake").alias("mime"),
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            # STUB: a real pipeline would cv2.imdecode here; we derive
+            # deterministic pseudo-dimensions from the payload bytes.
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": [len(b) for b in pdf["payload"]],
+                    "width": [64 + b[0] % 64 for b in pdf["payload"]],
+                    "height": [64 + b[1] % 64 for b in pdf["payload"]],
+                }
+            )
+            yield out
+
+    return d.mapInPandas(
+        decode,
+        schema="doc_id long, mime string, n_bytes long, width long, height long",
+    )
+
+
+def _queries_part2():
+    return {
+        "exact_dedup": q_exact_dedup,
+        "minhash_lsh_pairs": q_minhash_pairs,
+        "ngram_jaccard_verify": q_jaccard_verify,
+        "simhash": q_simhash,
+        "ann_brute_topk": q_ann_brute_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "text_stats": q_text_stats,
+        "lang_guess": q_lang_guess,
+        "doc_fingerprint": q_fingerprint,
+        "quality_score": q_quality_score,
+        "sessionize": q_sessionize,
+        "multimodal_stub": q_multimodal_stub,
+    }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    base = {
+        "pricing_summary": q_pricing_summary,
+        "region_revenue": q_region_revenue,
+        "left_join_counts": q_left_join_counts,
+        "anti_join_no_orders": q_anti_join,
+        "semi_join_shipped_parts": q_semi_join,
+        "two_hop_supplier_region": q_two_hop,
+        "symmetric_pairs": q_symmetric_pairs,
+        "explode_wordcount": q_explode_wordcount,
+        "count_distinct": q_count_distinct,
+        "conditional_agg": q_conditional_agg,
+        "having_filter": q_having,
+        "collect_sorted": q_collect_sorted,
+        "topk_orders": q_topk_orders,
+        "topk_per_group": q_topk_per_group,
+        "dedup_latest_event": q_dedup_latest,
+        "lead_next_event": q_lead_next_event,
+        "pagination": q_pagination,
+        "union_distinct": q_union_distinct,
+        "except_non_urgent": q_except,
+        "string_hygiene": q_string_hygiene,
+        "date_parts": q_date_parts,
+        "case_decode": q_case_decode,
+        "json_extract": q_json_extract,
+        "cast_guard": q_cast_guard,
+        "kg_star_triples": q_kg_star_triples,
+        "degree_topk": q_degree_topk,
+        "cooccur_pattern": q_cooccur_pattern,
+    }
+    base.update(_queries_part2())
+    return base
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+def _sw_list() -> str:
+    return "[" + ", ".join(f"'{w}'" for w in tx.STOPWORDS) + "]"
+
+
+def _minhash_cte(num_hashes: int = 8, band_size: int = 2) -> str:
+    sig_cols = ",\n    ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}' || '|' || s))) AS sig_{i}"
+        for i in range(num_hashes)
+    )
+    n_bands = num_hashes // band_size
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        + " || '|' || ".join(f"sig_{b * band_size + j}" for j in range(band_size))
+        + " AS band_key FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t) - 2),
+                        i -> array_to_string(t[i:i+2], ' '))) AS shingles
+  FROM toks WHERE len(t) >= 3
+),
+sigs AS (
+  SELECT doc_id,
+    {sig_cols}
+  FROM sh
+),
+bands AS (
+  {band_selects}
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+)
+"""
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+        f"(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+        f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 4)"
+    )
+
+
+def _lsh_bucket_sql(vec: str) -> str:
+    planes = vector.hyperplanes(64, 4, seed=13)
+    parts = []
+    for p in planes:
+        lit = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+        parts.append(
+            f"CASE WHEN list_dot_product({vec}::DOUBLE[], {lit}) >= 0 THEN '1' ELSE '0' END"
+        )
+    return " || ".join(parts)
+
+
+def _lang_guess_sql() -> str:
+    hit_cols = ",\n    ".join(
+        f"len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in tx.LANG_MARKERS[lang])
+        + f"], x))) AS h_{lang}"
+        for lang in sorted(tx.LANG_MARKERS)
+    )
+    mx = "greatest(h_de, h_en, h_es, h_fr)"
+    return f"""
+WITH t AS (SELECT lang, {_TOKS} AS toks FROM documents),
+h AS (SELECT lang, {hit_cols} FROM t)
+SELECT lang,
+  CASE WHEN {mx} = 0 THEN 'und'
+       WHEN h_fr = {mx} THEN 'fr'
+       WHEN h_es = {mx} THEN 'es'
+       WHEN h_en = {mx} THEN 'en'
+       ELSE 'de' END AS guess,
+  COUNT(*)::BIGINT AS n
+FROM h GROUP BY 1, 2
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (multimodal_stub omitted → the
+    driver records its weaker rows-only check for that one)."""
+    sw = _sw_list()
+    quality_q4 = (
+        "CAST(round(round((least(len(t)/100.0, 1.0) + "
+        f"(1 - abs(len(list_filter(t, x -> list_contains({sw}, x)))/len(t) - 0.3)))/2, 4)"
+        " * 10000, 0) AS BIGINT)"
+    )
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+              CAST(round(SUM(CAST(l_quantity AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_qty,
+              CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_base_price,
+              CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_disc_price,
+              round(CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+              COUNT(*)::BIGINT AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus""",
+        "region_revenue": """
+            SELECT r_name,
+              CAST(round(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue,
+              COUNT(*)::BIGINT AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name""",
+        "left_join_counts": """
+            SELECT c_custkey, COUNT(o_orderkey)::BIGINT AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey""",
+        "anti_join_no_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+        "semi_join_shipped_parts": """
+            SELECT p_partkey, p_name FROM part
+            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""",
+        "two_hop_supplier_region": """
+            SELECT r_name, COUNT(*)::BIGINT AS n_suppliers
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name""",
+        "symmetric_pairs": """
+            SELECT DISTINCT a.s_nationkey AS nk, a.s_suppkey AS a, b.s_suppkey AS b
+            FROM supplier a JOIN supplier b
+              ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey""",
+        "explode_wordcount": f"""
+            SELECT word, COUNT(*)::BIGINT AS n
+            FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+            GROUP BY word ORDER BY n DESC, word LIMIT 20""",
+        "count_distinct": """
+            SELECT o_orderstatus,
+              COUNT(DISTINCT o_custkey)::BIGINT AS n_customers,
+              COUNT(*)::BIGINT AS n_orders
+            FROM orders GROUP BY o_orderstatus""",
+        "conditional_agg": """
+            SELECT l_linestatus,
+              CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+              CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted
+            FROM lineitem GROUP BY l_linestatus""",
+        "having_filter": """
+            SELECT o_custkey, COUNT(*)::BIGINT AS n_orders
+            FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12""",
+        "collect_sorted": """
+            SELECT c_nationkey,
+              array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+              COUNT(*)::BIGINT AS n_customers
+            FROM customer GROUP BY c_nationkey""",
+        "topk_orders": """
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""",
+        "topk_per_group": """
+            SELECT o_orderpriority, rank, o_orderkey FROM (
+              SELECT o_orderpriority, o_orderkey,
+                row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rank
+              FROM orders) WHERE rank <= 3""",
+        "dedup_latest_event": """
+            SELECT user_id, event_id, event_type FROM (
+              SELECT user_id, event_id, event_type,
+                row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1""",
+        "lead_next_event": """
+            SELECT user_id, event_id, next_event_id FROM (
+              SELECT user_id, event_id,
+                lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_id
+              FROM events) WHERE next_event_id IS NOT NULL""",
+        "pagination": """
+            SELECT c_custkey, c_name FROM customer
+            ORDER BY c_custkey LIMIT 10 OFFSET 20""",
+        "union_distinct": """
+            SELECT DISTINCT o_custkey FROM (
+              SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+              UNION ALL
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""",
+        "except_non_urgent": """
+            SELECT o_custkey FROM orders
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""",
+        "string_hygiene": """
+            SELECT p_partkey,
+              lower(trim(p_name)) AS name_clean,
+              regexp_replace(p_type, '[^A-Z]', '', 'g') AS type_caps,
+              'part://' || p_brand || '/' || p_partkey AS part_uri,
+              substr(p_name, 1, 10) AS name_trunc
+            FROM part""",
+        "date_parts": """
+            SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+              COUNT(*)::BIGINT AS n_orders,
+              CAST(round(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+            FROM orders GROUP BY 1, 2""",
+        "case_decode": """
+            SELECT o_orderkey,
+              CASE WHEN o_orderstatus = 'F' THEN 'finished'
+                   WHEN o_orderstatus = 'O' THEN 'open'
+                   WHEN o_orderstatus = 'P' THEN 'pending'
+                   ELSE 'unknown' END AS status_label
+            FROM orders""",
+        "json_extract": """
+            SELECT event_type,
+              round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+              MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type""",
+        "cast_guard": """
+            SELECT doc_id,
+              CAST(n_chars AS DOUBLE) AS n_chars_d,
+              CASE WHEN trim(lang) = '' THEN NULL ELSE lang END AS lang_norm,
+              substr(text, 1, 50) AS head
+            FROM documents""",
+        "kg_star_triples": _STAR_TRIPLES_SQL
+        + "SELECT pred, COUNT(*)::BIGINT AS n_triples FROM t GROUP BY pred",
+        "degree_topk": _STAR_TRIPLES_SQL
+        + """SELECT subj, COUNT(*)::BIGINT AS out_degree FROM t
+             GROUP BY subj ORDER BY out_degree DESC, subj LIMIT 10""",
+        "cooccur_pattern": """
+            WITH et AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS et_a, b.event_type AS et_b,
+              COUNT(DISTINCT a.user_id)::BIGINT AS n_users
+            FROM et a JOIN et b ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2""",
+        "exact_dedup": f"""
+            SELECT md5({_NORM}) AS fingerprint,
+              MIN(doc_id) AS canonical_id, COUNT(*)::BIGINT AS n_dups
+            FROM documents GROUP BY 1""",
+        "minhash_lsh_pairs": _minhash_cte() + "SELECT id_a, id_b FROM pairs",
+        "ngram_jaccard_verify": _minhash_cte()
+        + """
+            SELECT p.id_a, p.id_b,
+              CAST(len(list_intersect(a.shingles, b.shingles)) AS INT) AS inter_size,
+              CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS INT) AS union_size
+            FROM pairs p
+            JOIN sh a ON a.doc_id = p.id_a
+            JOIN sh b ON b.doc_id = p.id_b""",
+        "simhash": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+            ),
+            h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+            pos AS (SELECT doc_id, h, unnest(generate_series(1, 16)) AS i FROM h),
+            contrib AS (
+              SELECT doc_id, i,
+                CASE WHEN strpos('0123456789abcdef', substr(h, CAST(i AS INT), 1)) >= 9
+                     THEN 1 ELSE -1 END AS c
+              FROM pos),
+            bits AS (SELECT doc_id, i, SUM(c) AS s FROM contrib GROUP BY doc_id, i)
+            SELECT doc_id,
+              CAST(SUM(CASE WHEN s > 0 THEN 1 << CAST(i - 1 AS INT) ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id""",
+        "ann_brute_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+            s AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     {_cosine_sql('q.qv', 'e.embedding')} AS score
+              FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+            SELECT query_id, neighbor_id, rank, score FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, neighbor_id) AS rank FROM s)
+            WHERE rank <= 5""",
+        "ann_lsh_topk": f"""
+            WITH c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                              {_lsh_bucket_sql('embedding')} AS bucket FROM embeddings),
+            q AS (SELECT vec_id AS query_id, embedding AS qv,
+                         {_lsh_bucket_sql('embedding')} AS bucket
+                  FROM embeddings WHERE vec_id < 8),
+            s AS (
+              SELECT q.query_id, c.neighbor_id,
+                     {_cosine_sql('q.qv', 'c.cv')} AS score
+              FROM c JOIN q ON c.bucket = q.bucket
+              WHERE c.neighbor_id <> q.query_id)
+            SELECT query_id, neighbor_id, rank, score FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, neighbor_id) AS rank FROM s)
+            WHERE rank <= 5""",
+        "embedding_neardup": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.2""",
+        "text_stats": f"""
+            WITH t AS (
+              SELECT lang, len({_TOKS}) AS n_tokens,
+                len(list_filter({_TOKS}, x -> list_contains({sw}, x))) AS sw_hits
+              FROM documents)
+            SELECT lang,
+              CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+              round(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 4) AS avg_tokens,
+              round(CAST(SUM(sw_hits) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE), 4) AS stopword_ratio
+            FROM t GROUP BY lang""",
+        "lang_guess": _lang_guess_sql(),
+        "doc_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
+        "quality_score": f"""
+            WITH t AS (SELECT source, {_TOKS} AS t FROM documents),
+            pq AS (SELECT source, {quality_q4} AS q4 FROM t)
+            SELECT source,
+              round(CAST(SUM(q4) AS DOUBLE) / (COUNT(*) * 10000), 4) AS avg_quality,
+              COUNT(*)::BIGINT AS n_docs
+            FROM pq GROUP BY source""",
+        "sessionize": """
+            WITH o AS (
+              SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR datediff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) > 1800
+                     THEN 1 ELSE 0 END AS ns
+              FROM events),
+            sess AS (
+              SELECT user_id,
+                CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) - 1 AS INT) AS session_id
+              FROM o),
+            per AS (SELECT user_id, session_id, COUNT(*) AS n FROM sess GROUP BY 1, 2)
+            SELECT user_id, COUNT(*)::BIGINT AS n_sessions,
+              CAST(SUM(n) AS BIGINT) AS n_events,
+              CAST(MAX(n) AS BIGINT) AS max_session_events
+            FROM per GROUP BY user_id""",
+    }

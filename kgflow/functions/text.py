@@ -1,0 +1,111 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+All of these are pure ``pyspark.sql.functions`` compositions — JVM-side,
+whole-stage-codegen friendly, no Python in the hot path. Each has an
+exactly-equivalent ANSI-SQL formulation (used as the DuckDB oracle), so
+correctness is cross-checked value-for-value.
+
+Design rule for portability: every hash is ``md5`` of a UTF-8 string —
+identical across Spark, DuckDB, and Python — never engine-specific
+(xxhash64/crc) when a cross-engine oracle needs to reproduce it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny marker-word lists for heuristic language ID (deterministic, not
+#: a real classifier — the Spark-side plumbing is the point; swap for
+#: fastText/CLD3 via a pandas UDF in production).
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (lower-cased)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def avg_token_len(col: Column | str) -> Column:
+    t = tokens(col)
+    return F.aggregate(
+        t, F.lit(0.0), lambda acc, x: acc + F.length(x)
+    ) / F.size(t)
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or STOPWORDS
+    t = tokens(col)
+    hits = F.size(F.filter(t, lambda x: x.isin(sw)))
+    return hits / F.size(t)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Length/stopword-based quality heuristic in [0,1]: mid-length docs
+    with some-but-not-all stopwords score high (the shape of the
+    reference's 2000-char/512-token caps, ``entrez_gene_embedding.py:10``)."""
+    n = token_count(col)
+    len_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    sw = stopword_ratio(col)
+    sw_score = F.lit(1.0) - F.abs(sw - F.lit(0.3))
+    return F.round((len_score + sw_score) / 2.0, 4)
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    t = tokens(col)
+    return {
+        lang: F.size(F.filter(t, lambda x: x.isin(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_guess(col: Column | str) -> Column:
+    """argmax over marker-hit counts, deterministic tie-break by lang name."""
+    scores = lang_scores(col)
+    # build struct array (hits, lang) and take max → deterministic
+    pairs = F.array(
+        *[F.struct(v.alias("hits"), F.lit(k).alias("lang")) for k, v in sorted(scores.items())]
+    )
+    best = F.array_max(F.filter(pairs, lambda p: p["hits"] > 0))
+    return F.coalesce(best["lang"], F.lit("und"))
+
+
+def normalized_text(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lower text."""
+    return F.md5(normalized_text(col))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles as an array<string> (empty if < n tokens).
+
+    Guard: ``F.sequence(1, 0)`` yields a DESCENDING sequence in Spark,
+    not an empty one — short texts must short-circuit to array().
+    """
+    t = tokens(col)
+    count = F.size(t) - (n - 1)
+    return F.when(
+        count >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))

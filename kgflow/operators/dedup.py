@@ -1,0 +1,200 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest first (run in this order at scale):
+
+1. **exact** — md5 fingerprint groupBy; one shuffle on a 16-byte key.
+2. **MinHash + LSH** — shingle → K md5-min signatures → band buckets →
+   candidate pairs only within a bucket; avoids the O(n²) cross join.
+3. **SimHash** — 16-bit sign-hash bucket; candidates share a bucket.
+4. **n-gram Jaccard verify** — exact set overlap, run only on the
+   candidate pairs the cheap tiers emit.
+
+Everything is built-in-function only (JVM, codegen); md5 is used as the
+hash family so a DuckDB oracle reproduces every value bit-for-bit.
+The same duplicate-group resolution rule as the KG side applies:
+min(doc_id) is the canonical representative (C3, SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as tx
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(fingerprint, canonical_id, n_dups) — one row per distinct text."""
+    return (
+        docs.select(F.col(id_col), tx.fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig_0..sig_{K-1}) — sig_i = min over shingles of md5(i‖shingle).
+
+    md5-hex strings compare lexicographically, which is a valid uniform
+    min-hash family and is portable across engines.
+    """
+    sh = docs.select(
+        F.col(id_col), tx.word_shingles(text_col, shingle_n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+    def sig(i: int):
+        # NB: the lambda must be unary — F.transform passes the element
+        # INDEX as a second arg to binary lambdas, which would silently
+        # replace a `i=i` default-bound hash index.
+        prefix = f"{i}|"
+        return F.array_min(
+            F.transform("shingles", lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        ).alias(f"sig_{i}")
+
+    return sh.select(F.col(id_col), *[sig(i) for i in range(num_hashes)])
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    Scale shape: explode to (band_id, band_key, id), shuffle on the
+    band key (short md5-concat string), self-pair within buckets. Hot
+    buckets (boilerplate text) are the skew risk — AQE skew-join plus
+    an optional bucket-size cap handle it.
+    """
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    n_bands = num_hashes // band_size
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "|", *[F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_key")
+    l = bands.alias("l")
+    r = bands.alias("r")
+    return (
+        l.join(r, ["band_id", "band_key"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def jaccard_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set overlap for candidate pairs.
+
+    Returns integer (inter_size, union_size) — floats would make the
+    cross-engine value comparison fragile; callers derive jaccard =
+    inter/union.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("_id"), tx.word_shingles(text_col, shingle_n).alias("_sh")
+    )
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter_size"),
+            F.size(F.array_union("sh_a", "sh_b")).alias("union_size"),
+        )
+    )
+
+
+def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit SimHash per document, fully JVM-side.
+
+    bit_i = sign of Σ_tokens (±1), where the ±1 for token t at position
+    i is the high bit of the i-th nibble of md5(t). Portable: the same
+    arithmetic runs in the DuckDB oracle.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(tx.tokens(text_col))).alias("tok")
+    )
+    h = toks.select(id_col, F.md5("tok").alias("h"))
+    pos = h.select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.lit(16))).alias("i"),
+        F.col("h"),
+    )
+    nibble = F.col("h").substr(F.col("i"), F.lit(1))
+    contrib = pos.select(
+        id_col,
+        "i",
+        # high bit of the hex nibble: value >= 8  ⇔ char ∈ '8'..'f'
+        F.when(F.conv(nibble, 16, 10).cast("int") >= 8, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("c"),
+    )
+    bits = contrib.groupBy(id_col, "i").agg(F.sum("c").alias("s"))
+    # F.shiftleft needs a literal shift amount — use the SQL form for a
+    # column-valued shift
+    bit_value = F.expr("shiftleft(1, i - 1)")
+    return (
+        bits.groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("s") > 0, bit_value).otherwise(F.lit(0))).alias(
+                "simhash"
+            )
+        )
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-dup pairs above threshold (brute-force scoring).
+
+    At 100 TB this runs *after* LSH/IVF bucketing (see
+    operators.vector.lsh_bucket_topk); kept as the exact verifier.
+    """
+    from . import vector
+
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", F.round(vector.cosine("v_a", "v_b"), 4).alias("cosine")
+    )
+    return scored.filter(F.col("cosine") >= threshold)

@@ -1,0 +1,152 @@
+"""Vector similarity search over ``array<float>`` embedding columns.
+
+Replaces the reference's Neo4j vector index + ``db.index.vector.
+queryNodes`` (``neo4j_pubmed_batch_embeddings_processor.py:722-812``)
+with the Spark-idiomatic shapes:
+
+* ``brute_force_topk`` — broadcast the (small) query set, score every
+  row, per-query window top-k. Exact; the baseline. One pass over the
+  corpus, no shuffle of the corpus itself (only the tiny top-k heap
+  per partition via window).
+* ``lsh_bucket_topk`` — random-hyperplane sign-LSH bucketing: corpus
+  and queries hash to buckets; scoring happens only inside matching
+  buckets. Approximate; the 100 TB path (corpus shuffle is replaced by
+  a bucket-key join; recall tunable by number of hyperplanes/tables).
+
+All arithmetic folds left-to-right in float64 so the DuckDB oracle
+reproduces scores bit-for-bit before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine.
+
+    Output: (query_id, neighbor_id, rank, score) — rank 1..k, score
+    rounded to 4 dp, ties broken by neighbor id (deterministic, unlike
+    the reference's index order).
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    # corpus stays partition-local; the (small) query set is broadcast
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("_qv", "_cv"), 4).alias("score"),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 13) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (hash-based, no RNG state)."""
+    import hashlib
+    import struct
+
+    planes = []
+    for p in range(n_planes):
+        vals = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()
+            (u,) = struct.unpack("<Q", h[:8])
+            vals.append((u / 2**64) * 2.0 - 1.0)
+        planes.append(vals)
+    return planes
+
+
+def sign_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """Concatenated sign bits of ⟨v, plane_p⟩ → bucket key string."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bits = []
+    for plane in planes:
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        d = F.aggregate(
+            F.zip_with(v, arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 13,
+) -> DataFrame:
+    """Approximate top-k: score only corpus rows in the query's sign-LSH
+    bucket. At scale: corpus bucketing is a narrow map; the join shuffles
+    on the short bucket key instead of broadcasting the whole corpus."""
+    planes = hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        sign_bucket(vec_col, planes).alias("_bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        sign_bucket(vec_col, planes).alias("_bucket"),
+    )
+    scored = c.join(F.broadcast(q), "_bucket").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine("_qv", "_cv"), 4).alias("score"),
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
