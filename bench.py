@@ -1,0 +1,125 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Includes the north-star workload (`kg_pipeline`): synthetic transcripts
+(scaled to the sf of the testdata dir, conv_id-hash bucketed parquet,
+generated once and cached under /tmp) → mention extraction → linking →
+canonicalization → deduped triples. Reports triples/sec alongside
+per-query seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from kgflow import synth  # noqa: E402
+from kgflow.plans import pipeline  # noqa: E402
+from kgflow.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",
+    "region_revenue",
+    "explode_wordcount",
+    "kg_star_triples",
+    "degree_topk",
+    "topk_per_group",
+    "sessionize",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash",
+    "ann_brute_topk",
+    "ann_lsh_topk",
+    "text_stats",
+    "quality_score",
+]
+
+_CACHE_ROOT = os.environ.get("KGFLOW_BENCH_CACHE", "/tmp/kgflow_bench")
+
+
+def infer_sf(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return 0.1
+
+
+def transcripts_path(spark, sf: float, n_terms: int = 300) -> tuple[str, int]:
+    """Generate-once-and-cache synthetic transcripts sized to the sf."""
+    n_turns = max(int(2_000_000 * sf), 2_000)
+    n_convs = max(n_turns // 20, 50)
+    path = os.path.join(_CACHE_ROOT, f"transcripts_{n_turns}")
+    marker = os.path.join(path, "_SUCCESS_KGFLOW")
+    if not os.path.exists(marker):
+        terms_pdf, _ = synth.make_lexicon(n_terms, seed=7)
+        synth.write_transcripts(spark, path, n_turns, n_convs, buckets=32, seed=42)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return path, n_turns
+
+
+def run_kg_pipeline(spark, sf: float) -> tuple[float, dict]:
+    path, n_turns = transcripts_path(spark, sf)
+    terms, isa = synth.lexicon_dataframes(spark, 300, seed=7)
+    tr = spark.read.parquet(path)
+    t0 = time.time()
+    triples = pipeline.build_triples(tr, terms, isa)
+    n_triples = triples.count()
+    dt = time.time() - t0
+    return dt, {
+        "turns": n_turns,
+        "triples": n_triples,
+        "triples_per_sec": round(n_triples / dt, 1),
+        "turns_per_sec": round(n_turns / dt, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = infer_sf(sf_dir)
+    spark = get_spark("kgflow-bench")
+
+    # warmup: JVM + codegen + parquet footer cache + Python workers
+    # (Arrow channel spawn), not charged to queries
+    spark.range(1_000_000).agg(F.sum("id")).collect()
+    entrymod._t(spark, sf_dir, "lineitem").limit(10).collect()
+    spark.range(64).repartition(32).mapInPandas(lambda it: it, "id long").count()
+
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    kg_sec, kg_stats = run_kg_pipeline(spark, sf)
+    times["kg_pipeline"] = round(kg_sec, 3)
+
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "kg": kg_stats,
+        "cores": os.environ.get("SPARK_GRAFT_CPUS", "all"),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

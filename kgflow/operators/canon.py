@@ -58,6 +58,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """(id, canonical_id) for every id reachable through same-as edges.
 
@@ -73,6 +74,32 @@ def connected_components(
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
         .dropDuplicates()
     )
+    # Fast path: same-as graphs derived from ontology lexicons are
+    # dimension-scale (the reference parses whole ontologies in the
+    # driver, import_go_obo.py:64-145). Below the threshold a driver
+    # union-find beats ~10 distributed join rounds of fixed latency;
+    # the iterative path below is the 100 TB route.
+    n_edges = e.limit(driver_threshold + 1).count()
+    if n_edges <= driver_threshold:
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in e.collect():
+            ra, rb = find(row.a), find(row.b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        members = sorted(set(parent) | {find(k) for k in parent})
+        data = [(m, find(m)) for m in members]
+        return spark.createDataFrame(data, "id string, canonical_id string")
+
     nodes = e.select(F.col("a").alias("id")).union(e.select("b")).distinct()
     labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
     # symmetric closure once; afterwards we contract on labels

@@ -47,9 +47,17 @@ def minhash_signatures(
     md5-hex strings compare lexicographically, which is a valid uniform
     min-hash family and is portable across engines.
     """
-    sh = docs.select(
-        F.col(id_col), tx.word_shingles(text_col, shingle_n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    spark = docs.sparkSession
+    sh = (
+        docs.select(F.col(id_col), tx.word_shingles(text_col, shingle_n).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        # Exchange barrier, deliberately: (a) CollapseProject would
+        # otherwise inline the whole shingle expression into each of the
+        # K signature expressions (re-tokenizing the text K times per
+        # row — measured 50× slower); (b) small parquet inputs arrive as
+        # one split, and this op is CPU-bound, so spread it.
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def sig(i: int):
         # NB: the lambda must be unary — F.transform passes the element
@@ -122,9 +130,10 @@ def jaccard_verify(
     cross-engine value comparison fragile; callers derive jaccard =
     inter/union.
     """
+    spark = docs.sparkSession
     sh = docs.select(
         F.col(id_col).alias("_id"), tx.word_shingles(text_col, shingle_n).alias("_sh")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     return (
@@ -148,7 +157,7 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     """
     toks = docs.select(
         F.col(id_col), F.explode(F.array_distinct(tx.tokens(text_col))).alias("tok")
-    )
+    ).repartition(docs.sparkSession.sparkContext.defaultParallelism)
     h = toks.select(id_col, F.md5("tok").alias("h"))
     pos = h.select(
         id_col,

@@ -66,7 +66,9 @@ def find_mentions(text: str, index: dict[str, list[tuple[tuple[str, ...], str]]]
     which keeps the per-turn text-equality invariant decoupled from
     offsets).
     """
-    toks = [m.group(0).lower() for m in _TOKEN_RE.finditer(text)]
+    # str.split() ≡ \S+ tokenization (splits on all unicode whitespace)
+    # and is ~3× faster than regex iteration in the hot path
+    toks = text.lower().split()
     out = []
     i, n = 0, len(toks)
     while i < n:

@@ -24,12 +24,13 @@ def test_connected_components_chain(spark):
 
 
 def test_connected_components_hub_skew(spark):
-    """One hub with high degree (skew test) still resolves in few rounds."""
+    """One hub with high degree (skew test) still resolves in few rounds
+    (distributed path forced — driver_threshold=0)."""
     rows = [("hub", f"leaf{i:03d}") for i in range(200)] + [
         (f"leaf{i:03d}", f"leaf2_{i:03d}") for i in range(50)
     ]
     edges = spark.createDataFrame(rows, "id_a string, id_b string")
-    cc = canon.connected_components(edges)
+    cc = canon.connected_components(edges, driver_threshold=0)
     n_components = cc.select("canonical_id").distinct().count()
     assert n_components == 1
     assert cc.count() == 251  # hub + 200 leaves + 50 leaf2 nodes
@@ -39,7 +40,7 @@ def test_connected_components_long_path(spark):
     """Pointer doubling: a 64-node path converges within max_iter=25."""
     rows = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(63)]
     edges = spark.createDataFrame(rows, "id_a string, id_b string")
-    cc = canon.connected_components(edges, max_iter=10)
+    cc = canon.connected_components(edges, max_iter=10, driver_threshold=0)
     assert cc.select("canonical_id").distinct().collect()[0][0] == "n000"
     assert cc.count() == 64
 
@@ -100,5 +101,8 @@ def test_cc_matches_union_find(spark, pairs):
     exp_map = {x: min(members) for members in expected.values() for x in members}
 
     edges = spark.createDataFrame(pd.DataFrame(rows, columns=["id_a", "id_b"]))
-    got = {(r.id, r.canonical_id) for r in canon.connected_components(edges).collect()}
+    got = {
+        (r.id, r.canonical_id)
+        for r in canon.connected_components(edges, driver_threshold=0).collect()
+    }
     assert got == set(exp_map.items())
