@@ -1,0 +1,128 @@
+"""Unit tests for extraction, dedup, vector, sessionize operators."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from kgflow.operators import dedup, extract, sessionize, vector
+from kgflow.operators.extract import build_matcher, find_mentions
+
+
+def test_matcher_longest_match_and_negatives():
+    idx = build_matcher(["alpha kinase", "alpha kinase beta", "beta"])
+    # longest-match wins, greedy, non-overlapping
+    hits = find_mentions("see alpha kinase beta then alpha kinase and beta", idx)
+    assert [h[0] for h in hits] == ["alpha kinase beta", "alpha kinase", "beta"]
+    # near-miss: head word alone must not match
+    assert find_mentions("alpha alone here", idx) == []
+    # case-insensitive
+    assert [h[0] for h in find_mentions("ALPHA KINASE", idx)] == ["alpha kinase"]
+
+
+def test_extract_mentions_offsets(spark):
+    tr = spark.createDataFrame(
+        [("c1", 0, "user", "x alpha kinase y", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    rows = extract.extract_mentions(tr, ["alpha kinase"]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.surface, r.start, r.end) == ("alpha kinase", 1, 3)
+
+
+def test_hash_embedding_deterministic_and_normalized(spark):
+    df = spark.createDataFrame([("hello world",), ("",)], "text string")
+    out = extract.hash_embedding(df, dim=16).collect()
+    v = out[0].embedding
+    assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-5
+    assert out[1].embedding == [0.0] * 16
+    out2 = extract.hash_embedding(df, dim=16).collect()
+    assert out[0].embedding == out2[0].embedding
+
+
+def test_exact_duplicates_groups(spark):
+    docs = spark.createDataFrame(
+        [(1, "Same  Text"), (2, "same text"), (3, "other")],
+        "doc_id long, text string",
+    )
+    got = {(r.canonical_id, r.n_dups) for r in dedup.exact_duplicates(docs).collect()}
+    # whitespace-normalized + lower-cased → 1 and 2 collapse
+    assert got == {(1, 2), (3, 1)}
+
+
+def test_minhash_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words in this one nothing shared at all here"
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(docs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    ver = dedup.jaccard_verify(docs, dedup.minhash_lsh_pairs(docs)).collect()
+    row = next(r for r in ver if (r.id_a, r.id_b) == (1, 2))
+    assert row.inter_size / row.union_size > 0.5
+
+
+def test_simhash_similar_docs_close(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            (3, "one two three four five six"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = {r.doc_id: r.simhash for r in dedup.simhash16(docs).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(sh[1], sh[2]) < hamming(sh[1], sh[3])
+
+
+def test_brute_force_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id = 0").select(F.col("vec_id").alias("query_id"), "embedding")
+    got = vector.brute_force_topk(emb, q, k=3).orderBy("rank").collect()
+    assert [r.neighbor_id for r in got] == [1, 2, 3]
+    assert got[0].score > 0.99
+
+
+def test_lsh_topk_subset_of_brute(spark, lexicon_pdf):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.randn(16).astype(float).tolist()) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id < 3").select(F.col("vec_id").alias("query_id"), "embedding")
+    lsh = vector.lsh_bucket_topk(emb, q, dim=16, k=5, n_planes=2)
+    brute = vector.brute_force_topk(emb, q, k=80)
+    bscore = {
+        (r.query_id, r.neighbor_id): r.score for r in brute.collect()
+    }
+    for r in lsh.collect():
+        # every LSH hit must carry the exact brute-force score
+        assert bscore[(r.query_id, r.neighbor_id)] == r.score
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),  # same session (10 min)
+        (1, "2024-01-01 01:00:00"),  # new session (50 min gap)
+        (2, "2024-01-01 00:00:00"),
+    ]
+    events = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {r.user_id: (r.n_sessions, r.n_events) for r in
+           sessionize.session_stats(events).collect()}
+    assert got == {1: (2, 3), 2: (1, 1)}

@@ -1,0 +1,134 @@
+"""Sources (CSV/OBO readers) and Structured Streaming incremental runs."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from kgflow.sources import readers
+from kgflow.streaming import incremental
+
+_OBO = """format-version: 1.2
+
+[Term]
+id: GO:0000001
+name: mitochondrion inheritance
+namespace: biological_process
+def: "The distribution of mitochondria." [GOC:mcc]
+synonym: "mitochondrial inheritance" EXACT []
+alt_id: GO:0000100
+is_a: GO:0048308 ! organelle inheritance
+relationship: part_of GO:0048311 ! mitochondrion distribution
+
+[Term]
+id: GO:0000002
+name: mitochondrial genome maintenance
+namespace: biological_process
+is_obsolete: true
+
+[Typedef]
+id: part_of
+name: part of
+"""
+
+
+def test_parse_obo():
+    terms, edges = readers.parse_obo(_OBO)
+    assert len(terms) == 2
+    t = terms[terms.term_id == "GO:0000001"].iloc[0]
+    assert t["name"] == "mitochondrion inheritance"
+    assert t.synonyms == ["mitochondrial inheritance"]
+    assert t.alt_ids == ["GO:0000100"]
+    assert not t.is_obsolete
+    assert terms[terms.term_id == "GO:0000002"].iloc[0].is_obsolete
+    got = {tuple(r) for r in edges.itertuples(index=False)}
+    assert got == {
+        ("GO:0000001", "is_a", "GO:0048308"),
+        ("GO:0000001", "part_of", "GO:0048311"),
+    }
+
+
+def test_load_obo_roundtrip(spark, tmp_path):
+    p = tmp_path / "mini.obo"
+    p.write_text(_OBO)
+    terms, edges = readers.load_obo(spark, str(p))
+    assert terms.count() == 2
+    assert edges.count() == 2
+    assert terms.filter("is_obsolete").count() == 1
+
+
+def test_read_delimited_arrays_and_trim(spark, tmp_path):
+    p = tmp_path / "t.tsv"
+    p.write_text("id\tpmids\n A1 \t1; 2;3;\nA2\t\n")
+    df = readers.read_delimited(spark, str(p), sep="\t", array_cols={"pmids": ";"})
+    rows = {r.id: r.pmids for r in df.collect()}
+    assert rows["A1"] == ["1", "2", "3"]
+    assert rows["A2"] in (None, [])
+
+
+def test_read_positional_skip(spark, tmp_path):
+    p = tmp_path / "p.csv"
+    p.write_text("#comment,x\n#another,y\na,1\nb,2\n")
+    df = readers.read_positional(spark, str(p), n_cols=2, skip_prefix="#")
+    assert {tuple(r) for r in df.collect()} == {("a", "1"), ("b", "2")}
+
+
+def test_incremental_extract_matches_batch(spark, transcripts, lexicon, tmp_path):
+    """availableNow streaming over two file drops == one batch run."""
+    from kgflow.plans import pipeline as P
+
+    terms, isa = lexicon
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    half1 = transcripts.filter(F.col("conv_id") < "conv-000015")
+    half2 = transcripts.filter(F.col("conv_id") >= "conv-000015")
+    half1.write.mode("append").parquet(in_dir)
+
+    n1 = incremental.incremental_extract(spark, in_dir, out_dir, terms, isa)
+    assert n1 >= 1
+    half2.write.mode("append").parquet(in_dir)
+    incremental.incremental_extract(spark, in_dir, out_dir, terms, isa)
+
+    got = {tuple(r) for r in incremental.read_stream_triples(spark, out_dir).collect()}
+    # batch reference on the union; conv-local triple families match
+    # exactly; the only cross-conv family (ontology) is conv-independent
+    batch = {tuple(r) for r in P.build_triples(transcripts, terms, isa).collect()}
+    assert got == batch
+
+
+def test_streaming_sessions(spark, tmp_path):
+    """Append mode emits sessions once the watermark passes them — so a
+    later file drop finalizes the earlier sessions (real streaming
+    semantics: nothing is emitted for still-open windows)."""
+
+    def ev(rows):
+        return spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    in_dir = str(tmp_path / "ev")
+    out_dir = str(tmp_path / "sess")
+    ev(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:10:00"),
+            (1, "2024-01-01 02:00:00"),
+            (2, "2024-01-01 00:00:00"),
+        ]
+    ).write.mode("append").parquet(in_dir)
+    incremental.streaming_sessions(spark, in_dir, out_dir)
+    # watermark-advancing drop two days later closes all day-1 sessions
+    ev([(99, "2024-01-03 00:00:00")]).write.mode("append").parquet(in_dir)
+    out = incremental.streaming_sessions(spark, in_dir, out_dir)
+    per_user = {
+        r.user_id: r.n
+        for r in out.filter("user_id < 99")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per_user == {1: 2, 2: 1}
+    totals = {
+        r.user_id: r.total
+        for r in out.groupBy("user_id").agg(F.sum("n_events").alias("total")).collect()
+    }
+    assert totals[1] == 3 and totals[2] == 1
