@@ -28,11 +28,33 @@ global dedup (MERGE-idempotence, C2).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators import canon, extract, link
+
+
+@dataclass
+class Lexicon:
+    """Prepared lexicon artifacts: built once per lexicon version, reused
+    across every batch/stream run (dimension prep is not per-batch work —
+    the reference likewise parses ontologies once up front,
+    import_go_obo.py:64-145)."""
+
+    surfaces: list[str]
+    dim: DataFrame  # (surface, term_id, namespace), cached
+    mapping: DataFrame  # (id, canonical_id), cached
+
+
+def prepare_lexicon(terms: DataFrame) -> Lexicon:
+    dim = link.surface_dim(terms).cache()
+    surfaces = [r.surface for r in dim.select("surface").collect()]
+    mapping = canon.connected_components(link.alt_id_edges(terms)).cache()
+    mapping.count()
+    return Lexicon(surfaces=surfaces, dim=dim, mapping=mapping)
 
 
 def normalize_predicate(col):
@@ -63,6 +85,7 @@ def build_triples(
     terms: DataFrame,
     isa_edges: DataFrame,
     with_src: bool = False,
+    lex: Lexicon | None = None,
 ) -> DataFrame:
     """The full extraction DAG; returns the deduped triple table.
 
@@ -71,16 +94,16 @@ def build_triples(
     used by the bucket-resumable writer so every transcript-derived
     triple lands in its source conversation's bucket; the global
     triple-set view dedups on read.
+
+    ``lex``: pass a prepared ``Lexicon`` to skip per-run dimension prep
+    (the recommended shape for repeated/incremental runs).
     """
-    surfaces = lexicon_surfaces(terms)
-    dim = link.surface_dim(terms)
+    if lex is None:
+        lex = prepare_lexicon(terms)
+    mapping = lex.mapping
 
-    mentions = extract.extract_mentions(transcripts, surfaces)
-    linked = link.link_mentions(mentions, dim)
-
-    # canonical mapping from alt-id same-as chains
-    same_as = link.alt_id_edges(terms)
-    mapping = canon.connected_components(same_as)
+    mentions = extract.extract_mentions(transcripts, lex.surfaces)
+    linked = link.link_mentions(mentions, lex.dim)
 
     linked = canon.apply_canonical(linked, mapping, ["term_id"]).localCheckpoint(
         eager=True

@@ -35,6 +35,13 @@ def incremental_extract(
     Returns the number of micro-batches processed. Triples are appended
     per-batch; the global view dedups on read (same contract as the
     checkpointed batch writer).
+
+    CONTRACT: each file drop must be conversation-complete (all turns of
+    a conv_id in one drop). Turn-adjacency triples (NEXT_TURN) are
+    derived within a batch; a conversation split across drops would lose
+    its cross-drop adjacency edge. conv_id-hash bucketed producers
+    satisfy this naturally; a stateful applyInPandasWithState variant
+    would lift the restriction at the cost of per-conv state.
     """
     from ..plans import pipeline as P
 
