@@ -646,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccur_pattern": q_cooccur_pattern,
     }
     base.update(_queries_part2())
+    base.update(_EXTRA_QUERIES)
     return base
 
 
@@ -976,4 +977,230 @@ def oracle_sql() -> dict[str, str]:
               CAST(SUM(n) AS BIGINT) AS n_events,
               CAST(MAX(n) AS BIGINT) AS max_session_events
             FROM per GROUP BY user_id""",
+        **_EXTRA_ORACLES,
     }
+
+
+# ---------------------------------------------------------------------------
+# extended operator coverage (frames, rollup, pivot, range/as-of joins,
+# exact percentiles, embedding centroids)
+# ---------------------------------------------------------------------------
+
+
+def q_rollup(spark, sf):
+    """Grouping sets: ROLLUP(status, priority) with NULL subtotal rows."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("o_totalprice").alias("revenue"))
+    )
+
+
+def q_percentile(spark, sf):
+    """Exact interpolated percentiles (the deterministic twin of
+    percentile_approx; at 100 TB swap in approx_percentile and accept
+    the error bound)."""
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+    )
+
+
+def q_running_sum(spark, sf):
+    """Window frame: cumulative revenue per customer by order date."""
+    o = _t(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).over(w), 2
+        ).cast("double").alias("cum_revenue"),
+    )
+
+
+def q_rank_dense_ntile(spark, sf):
+    """rank / dense_rank / ntile over one window."""
+    s = _t(spark, sf, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(2).over(w).cast("long").alias("half"),
+    )
+
+
+def q_pivot(spark, sf):
+    """Pivot: order counts by priority × status (fixed value set)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .withColumnRenamed("F", "n_f")
+        .withColumnRenamed("O", "n_o")
+        .withColumnRenamed("P", "n_p")
+    )
+
+
+def q_range_join(spark, sf):
+    """Range (interval) self-join: same-user event pairs within 60s."""
+    e = _t(spark, sf, "events")
+    a = e.select("user_id", F.col("event_id").alias("id_a"), F.col("ts").alias("ts_a"))
+    b = e.select("user_id", F.col("event_id").alias("id_b"), F.col("ts").alias("ts_b"))
+    pairs = a.join(b, "user_id").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (
+            F.col("ts_b").cast("timestamp").cast("long")
+            - F.col("ts_a").cast("timestamp").cast("long")
+            <= 60
+        )
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def q_asof_prior_event(spark, sf):
+    """As-of join expressed as a running conditional max: for every
+    'error' event, the timestamp of the user's latest prior 'signup'."""
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp").cast("long"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    signup_ts = F.max(
+        F.when(
+            F.col("event_type") == "signup", F.col("ts").cast("timestamp").cast("long")
+        )
+    ).over(w)
+    return (
+        e.withColumn("prior_signup_epoch", signup_ts)
+        .filter(F.col("event_type") == "error")
+        .select("user_id", "event_id", "prior_signup_epoch")
+    )
+
+
+def q_embedding_centroid(spark, sf):
+    """Per-label embedding centroid, per dimension (posexplode + avg —
+    integer-free but deterministic: fixed fold order per (label, dim))."""
+    emb = _t(spark, sf, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    return (
+        ex.filter(F.col("dim") < 8)
+        .groupBy("label", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                5,
+            ).alias("centroid_v")
+        )
+    )
+
+
+def q_dynamic_projection(spark, sf):
+    """P1: dynamic column pruning — drop every column whose name starts
+    with 'o_order' except the key (reference drops 'date*' columns,
+    cql/import/import_hgnc.cql:25-41)."""
+    o = _t(spark, sf, "orders")
+    keep = [c for c in o.columns if not c.startswith("o_order") or c == "o_orderkey"]
+    return o.select(*keep)
+
+
+def q_bracketed_list_parse(spark, sf):
+    """P4: bracketed-Python-list parse (import_monarchkg_relationships
+    .py:26-40) — synthesized from testdata columns, split + strip + trim."""
+    d = _t(spark, sf, "documents")
+    bracketed = F.concat(
+        F.lit("['"), F.col("lang"), F.lit("', '"), F.col("source"), F.lit("']")
+    )
+    parsed = F.transform(
+        F.split(F.regexp_replace(bracketed, r"[\[\]']", ""), ","),
+        lambda x: F.trim(x),
+    )
+    return d.select(
+        "doc_id",
+        parsed.getItem(0).alias("first_item"),
+        parsed.getItem(1).alias("second_item"),
+        F.size(parsed).alias("n_items"),
+    )
+
+
+_EXTRA_QUERIES = {
+    "rollup_revenue": q_rollup,
+    "percentile_exact": q_percentile,
+    "running_sum": q_running_sum,
+    "rank_dense_ntile": q_rank_dense_ntile,
+    "pivot_status": q_pivot,
+    "range_join_pairs": q_range_join,
+    "asof_prior_event": q_asof_prior_event,
+    "embedding_centroid": q_embedding_centroid,
+    "dynamic_projection": q_dynamic_projection,
+    "bracketed_list_parse": q_bracketed_list_parse,
+}
+
+_EXTRA_ORACLES = {
+    "rollup_revenue": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*)::BIGINT AS n,
+          CAST(round(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "percentile_exact": """
+        SELECT event_type,
+          round(quantile_cont(value, 0.5), 4) AS p50,
+          round(quantile_cont(value, 0.9), 4) AS p90
+        FROM events GROUP BY event_type""",
+    "running_sum": """
+        SELECT o_custkey, o_orderkey,
+          CAST(round(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS cum_revenue
+        FROM orders""",
+    "rank_dense_ntile": """
+        SELECT s_suppkey, s_nationkey,
+          rank() OVER w AS rnk,
+          dense_rank() OVER w AS drnk,
+          ntile(2) OVER w AS half
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)""",
+    "pivot_status": """
+        SELECT o_orderpriority,
+          CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+          CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+          CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        FROM orders GROUP BY o_orderpriority""",
+    "range_join_pairs": """
+        SELECT a.user_id, COUNT(*)::BIGINT AS n_pairs
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id AND a.event_id < b.event_id
+         AND b.ts >= a.ts AND datediff('second', a.ts, b.ts) <= 60
+        GROUP BY a.user_id""",
+    "asof_prior_event": """
+        SELECT user_id, event_id, prior_signup_epoch FROM (
+          SELECT user_id, event_id, event_type,
+            MAX(CASE WHEN event_type = 'signup' THEN CAST(floor(epoch(ts)) AS BIGINT) END)
+              OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_signup_epoch
+          FROM events)
+        WHERE event_type = 'error'""",
+    "embedding_centroid": """
+        SELECT label, CAST(dim AS INT) AS dim,
+          round(CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 5) AS centroid_v
+        FROM (
+          SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+                 unnest(embedding) AS v
+          FROM embeddings)
+        WHERE dim < 8 GROUP BY label, dim""",
+    "dynamic_projection": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders""",
+    "bracketed_list_parse": """
+        SELECT doc_id, lang AS first_item, source AS second_item, 2 AS n_items
+        FROM documents""",
+}
