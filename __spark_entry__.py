@@ -1204,3 +1204,41 @@ _EXTRA_ORACLES = {
         SELECT doc_id, lang AS first_item, source AS second_item, 2 AS n_items
         FROM documents""",
 }
+
+
+def q_hybrid_search(spark, sf):
+    """E5 hybrid search: cosine top-5 among label-0 corpus vectors only."""
+    emb = _t(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return vector.filtered_topk(
+        emb, queries_df, F.col("label") == 0, k=5
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+queries_prev = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q = queries_prev()
+    q["hybrid_search"] = q_hybrid_search
+    return q
+
+
+oracle_sql_prev = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:
+    o = oracle_sql_prev()
+    o["hybrid_search"] = f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 4),
+        s AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 {_cosine_sql('q.qv', 'e.embedding')} AS score
+          FROM embeddings e, q WHERE e.label = 0 AND e.vec_id <> q.query_id)
+        SELECT query_id, neighbor_id, rank, score FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id) AS rank FROM s)
+        WHERE rank <= 5"""
+    return o

@@ -150,3 +150,38 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+def filtered_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    predicate,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hybrid search (E5): score first, filter after — replicating the
+    reference's order of operations (vector top-k then metadata WHERE,
+    cql/embeddings/pubmed_embeddings.cql:48-61) generalized to filter
+    pre-ranking so k survivors are returned."""
+    scored = brute_force_topk(
+        corpus.filter(predicate), queries, k=k, id_col=id_col,
+        vec_col=vec_col, query_id_col=query_id_col,
+    )
+    return scored
+
+
+def similar_by_id(
+    corpus: DataFrame,
+    seed_id: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Similar-by-node (E6): the seed row's own vector is the query;
+    self excluded (pubmed_embeddings.cql:102-115)."""
+    q = corpus.filter(F.col(id_col) == seed_id).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias(vec_col)
+    )
+    return brute_force_topk(corpus, q, k=k, id_col=id_col, vec_col=vec_col)
