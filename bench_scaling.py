@@ -150,7 +150,9 @@ def main() -> None:
         "turns": n_turns,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+    # autogen goes to its own file; BENCH/BASELINE.md is the curated
+    # multi-session analysis and must not be clobbered by one run
+    with open(os.path.join(REPO, "BENCH", "scaling_autogen.md"), "w") as fh:
         fh.write(
             f"""# BENCH/BASELINE — scaling evidence (north rule)
 

@@ -127,17 +127,30 @@ def build_triples(
         src,
     )
 
-    # within-turn co-occurrence: self-join per turn on distinct terms
-    per_turn = linked.select("conv_id", "turn_idx", "term_id").dropDuplicates()
-    l = per_turn.alias("l")
-    r = per_turn.alias("r")
+    # within-turn co-occurrence. NOT a self-join: collect the turn's
+    # distinct terms (one shuffle, reusing the turn key) and generate
+    # ordered pairs in-row — per-turn term counts are small, so the pair
+    # expansion is cheap and the 2 extra shuffles of a self-join are
+    # avoided. Pair order from the sorted array gives least/greatest
+    # canonical form for free (J6/C5).
+    per_turn_sets = linked.groupBy("conv_id", "turn_idx").agg(
+        F.sort_array(F.collect_set("term_id")).alias("ts")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ts"), i + 2, F.size(F.col("ts"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     co = (
-        l.join(r, ["conv_id", "turn_idx"])
-        .filter(F.col("l.term_id") < F.col("r.term_id"))
+        per_turn_sets.select("conv_id", F.explode(pairs).alias("p"))
         .select(
-            F.col("l.term_id").alias("subj"),
+            F.col("p.a").alias("subj"),
             F.lit("CO_OCCURS_WITH").alias("pred"),
-            F.col("r.term_id").alias("obj"),
+            F.col("p.b").alias("obj"),
             F.col("conv_id").alias("src_conv"),
         )
     )
