@@ -1242,3 +1242,42 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY score DESC, neighbor_id) AS rank FROM s)
         WHERE rank <= 5"""
     return o
+
+
+def q_salted_distinct(spark, sf):
+    """Skew-safe distinct aggregation: 3 hot keys (order status) hold
+    5k rows each; salted two-level aggregation matches plain semantics."""
+    from kgflow.operators import skew
+
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderstatus").alias("status"), F.col("o_orderpriority").alias("prio")
+    )
+    sets = skew.salted_collect_set(o, "status", "prio", n_salts=8)
+    counts = skew.salted_count_distinct(o, "status", "prio", n_salts=8)
+    return sets.join(counts, "status").select(
+        "status",
+        F.concat_ws(",", "prio_set").alias("priorities"),
+        F.col("n_prio").alias("n_priorities"),
+    )
+
+
+queries_prev2 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q = queries_prev2()
+    q["salted_distinct"] = q_salted_distinct
+    return q
+
+
+oracle_sql_prev2 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:
+    o = oracle_sql_prev2()
+    o["salted_distinct"] = """
+        SELECT o_orderstatus AS status,
+          array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+          COUNT(DISTINCT o_orderpriority)::BIGINT AS n_priorities
+        FROM orders GROUP BY o_orderstatus"""
+    return o

@@ -19,15 +19,12 @@ Scale notes:
 
 from __future__ import annotations
 
-import re
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-
-_TOKEN_RE = re.compile(r"\S+")
 
 _MENTION_OUT = T.StructType(
     [
