@@ -1281,3 +1281,53 @@ def oracle_sql() -> dict[str, str]:
           COUNT(DISTINCT o_orderpriority)::BIGINT AS n_priorities
         FROM orders GROUP BY o_orderstatus"""
     return o
+
+
+def q_substring_search(spark, sf):
+    """J4: case-insensitive substring filter-scan with deterministic
+    top-k (readcube_papers_query.py:62-75)."""
+    p = _t(spark, sf, "part")
+    return (
+        p.filter(F.lower(F.col("p_name")).contains("re"))
+        .orderBy("p_partkey")
+        .select("p_partkey", "p_name")
+        .limit(25)
+    )
+
+
+def q_hash_embed_docs(spark, sf):
+    """E1/E2: Arrow-batched text→vector encode (deterministic hash
+    embedding stand-in for BERT; zero vector for empty text). Python
+    UDF output — no SQL oracle, driver records rows-only."""
+    from kgflow.operators import extract
+
+    d = _t(spark, sf, "documents").limit(200)
+    emb = extract.hash_embedding(d, dim=32)
+    return emb.select(
+        "doc_id",
+        F.round(vector.norm("embedding"), 4).alias("l2_norm"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+queries_prev3 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q = queries_prev3()
+    q["substring_search"] = q_substring_search
+    q["hash_embed_docs"] = q_hash_embed_docs
+    return q
+
+
+oracle_sql_prev3 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:
+    o = oracle_sql_prev3()
+    o["substring_search"] = """
+        SELECT p_partkey, p_name FROM part
+        WHERE contains(lower(p_name), 're')
+        ORDER BY p_partkey LIMIT 25"""
+    # hash_embed_docs intentionally omitted (pandas-UDF output)
+    return o
