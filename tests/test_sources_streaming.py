@@ -132,3 +132,32 @@ def test_streaming_sessions(spark, tmp_path):
         for r in out.groupBy("user_id").agg(F.sum("n_events").alias("total")).collect()
     }
     assert totals[1] == 3 and totals[2] == 1
+
+
+def test_stateful_next_turn_across_drops(spark, tmp_path):
+    """A conversation split across drops still yields every adjacency
+    edge exactly once (the applyInPandasWithState path — lifts the
+    conversation-complete contract of incremental_extract)."""
+    from kgflow.streaming import stateful
+
+    def tr(rows):
+        return spark.createDataFrame(
+            [(c, i, "user", f"t{i}", None, None) for c, i in rows],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    tr([("c1", 0), ("c1", 1), ("c2", 0)]).write.mode("append").parquet(in_dir)
+    stateful.stateful_next_turn(spark, in_dir, out_dir)
+    # second drop continues c1 and c2 — the 1→2 bridge edge crosses drops
+    tr([("c1", 2), ("c2", 1), ("c1", 2)]).write.mode("append").parquet(in_dir)
+    got = {
+        tuple(r) for r in stateful.stateful_next_turn(spark, in_dir, out_dir).collect()
+    }
+    assert got == {
+        ("turn:c1:0", "NEXT_TURN", "turn:c1:1"),
+        ("turn:c1:1", "NEXT_TURN", "turn:c1:2"),
+        ("turn:c2:0", "NEXT_TURN", "turn:c2:1"),
+    }
