@@ -1331,3 +1331,33 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY p_partkey LIMIT 25"""
     # hash_embed_docs intentionally omitted (pandas-UDF output)
     return o
+
+
+def q_ann_brute_topk_np(spark, sf):
+    """E4 scale path: per-partition numpy GEMM + shortlist (same results
+    as the JVM fold variant, ~order-of-magnitude faster per row)."""
+    emb = _t(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return vector.brute_force_topk_np(
+        emb, queries_df, k=5, query_id_col="query_id"
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+queries_prev4 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q = queries_prev4()
+    q["ann_brute_topk_np"] = q_ann_brute_topk_np
+    return q
+
+
+oracle_sql_prev4 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:
+    o = oracle_sql_prev4()
+    o["ann_brute_topk_np"] = o["ann_brute_topk"]
+    return o

@@ -185,3 +185,70 @@ def similar_by_id(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias(vec_col)
     )
     return brute_force_topk(corpus, q, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def brute_force_topk_np(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Vectorized brute-force top-k: per-partition numpy matmul against
+    the broadcast query matrix, per-partition top-k shortlist, then a
+    global window over the tiny shortlist.
+
+    Same contract as ``brute_force_topk`` (score rounded to 4 dp, ties
+    by neighbor id) but ~1–2 orders faster per row at high dims: one
+    BLAS GEMM per Arrow batch instead of a JVM fold per pair, and only
+    ``k`` candidates per (partition, query) ever reach the shuffle —
+    the scale path when the query set is small and the corpus is huge.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = [r[0] for r in qrows]
+    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    bc = spark.sparkContext.broadcast((qids, qmat, qnorm, k))
+
+    out_schema = (
+        f"query_id long, neighbor_id long, score double"
+    )
+
+    def score(batches):
+        qids_, qmat_, qnorm_, k_ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            cmat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            cnorm = np.linalg.norm(cmat, axis=1)
+            sims = (cmat @ qmat_.T) / np.outer(cnorm, qnorm_)
+            for qi, qid in enumerate(qids_):
+                col = sims[:, qi]
+                mask = ids != qid
+                cand_ids = ids[mask]
+                cand = col[mask]
+                if len(cand) == 0:
+                    continue
+                top = min(k_, len(cand))
+                sel = np.argpartition(-cand, top - 1)[:top]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": cand_ids[sel],
+                        "score": np.round(cand[sel], 4),
+                    }
+                )
+
+    shortlist = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        shortlist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )

@@ -126,3 +126,17 @@ def test_sessionize_gap_semantics(spark):
     got = {r.user_id: (r.n_sessions, r.n_events) for r in
            sessionize.session_stats(events).collect()}
     assert got == {1: (2, 3), 2: (1, 1)}
+
+
+def test_numpy_topk_matches_jvm_topk(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.randn(32).astype(np.float32).tolist()) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id < 4").select(F.col("vec_id").alias("query_id"), "embedding")
+    jvm = {(r.query_id, r.rank): (r.neighbor_id, r.score)
+           for r in vector.brute_force_topk(emb, q, k=5).collect()}
+    npy = {(r.query_id, r.rank): (r.neighbor_id, r.score)
+           for r in vector.brute_force_topk_np(emb, q, k=5).collect()}
+    assert jvm == npy
