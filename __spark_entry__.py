@@ -1361,3 +1361,45 @@ def oracle_sql() -> dict[str, str]:
     o = oracle_sql_prev4()
     o["ann_brute_topk_np"] = o["ann_brute_topk"]
     return o
+
+
+def q_boilerplate_shingles(spark, sf):
+    """Boilerplate detection for training-data hygiene: 3-gram shingles
+    shared across the most documents (candidates for removal)."""
+    d = _t(spark, sf, "documents")
+    sh = d.select(
+        "doc_id", F.explode(tx.word_shingles("text", 3)).alias("shingle")
+    ).repartition(d.sparkSession.sparkContext.defaultParallelism)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("shingle"))
+        .limit(15)
+    )
+
+
+queries_prev5 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q = queries_prev5()
+    q["boilerplate_shingles"] = q_boilerplate_shingles
+    return q
+
+
+oracle_sql_prev5 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:
+    o = oracle_sql_prev5()
+    o["boilerplate_shingles"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, len(t) - 2),
+            i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+          FROM toks WHERE len(t) >= 3)
+        SELECT shingle, COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+        FROM sh GROUP BY shingle
+        ORDER BY n_docs DESC, shingle LIMIT 15"""
+    return o
