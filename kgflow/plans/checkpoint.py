@@ -87,7 +87,8 @@ def run_resumable(
     """
     from . import pipeline as P
 
-    run_id = f"run-{int(time.time() * 1000)}"
+    t_start = time.time()
+    run_id = f"run-{int(t_start * 1000)}"
     tr = with_bucket(transcripts, buckets)
     fps = bucket_fingerprints(tr)
 
@@ -158,13 +159,22 @@ def run_resumable(
         for r in rows:
             fh.write(json.dumps(r) + "\n")
 
-    return ResumeReport(
+    report = ResumeReport(
         run_id,
         total,
         total - len(pending_list),
         len(pending_list),
         sum(stats.values()),
     )
+    # run-level metrics artifact (throughput + counts) next to the ledger
+    from .metrics import RunMetrics
+
+    m = RunMetrics(run_id=run_id)
+    m.started_at = t_start
+    m.rows_in = sum(r["rows_in"] for r in rows)
+    m.triples = report.triples_out
+    m.finish().write(out_dir)
+    return report
 
 
 def read_triples(spark: SparkSession, out_dir: str) -> DataFrame:

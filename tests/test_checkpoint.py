@@ -83,3 +83,19 @@ def test_materialize_upsert(spark, tmp_path):
         (r.id, r.val) for r in mat.read_table(spark, path).select("id", "val").collect()
     }
     assert got2 == got
+
+
+def test_run_metrics_written(spark, transcripts, lexicon, tmp_path):
+    import glob
+    import json as _json
+
+    terms, isa = lexicon
+    d = str(tmp_path / "metrics")
+    rep = cp.run_resumable(spark, transcripts, terms, isa, d, buckets=4)
+    files = glob.glob(d + "/_metrics/*.json")
+    assert len(files) == 1
+    m = _json.loads(open(files[0]).read())
+    assert m["run_id"] == rep.run_id
+    assert m["rows_in"] == transcripts.count()
+    assert m["triples"] == rep.triples_out > 0
+    assert m["wall_sec"] > 0 and m["triples_per_sec"] > 0
