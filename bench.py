@@ -58,11 +58,14 @@ def transcripts_path(spark, sf: float, n_terms: int = 300) -> tuple[str, int]:
     """Generate-once-and-cache synthetic transcripts sized to the sf."""
     n_turns = max(int(2_000_000 * sf), 2_000)
     n_convs = max(n_turns // 20, 50)
-    path = os.path.join(_CACHE_ROOT, f"transcripts_{n_turns}")
+    # cache key carries the lexicon size — text content depends on it
+    path = os.path.join(_CACHE_ROOT, f"transcripts_{n_turns}_t{n_terms}")
     marker = os.path.join(path, "_SUCCESS_KGFLOW")
     if not os.path.exists(marker):
         terms_pdf, _ = synth.make_lexicon(n_terms, seed=7)
-        synth.write_transcripts(spark, path, n_turns, n_convs, buckets=32, seed=42)
+        synth.write_transcripts(
+            spark, path, n_turns, n_convs, buckets=32, seed=42, lexicon_pdf=terms_pdf
+        )
         with open(marker, "w") as fh:
             fh.write("ok")
     return path, n_turns

@@ -222,6 +222,7 @@ def write_transcripts(
     n_convs: int,
     buckets: int = 32,
     seed: int = 42,
+    lexicon_pdf: pd.DataFrame | None = None,
 ) -> None:
     """Materialize transcripts partitioned by conv_id-hash bucket.
 
@@ -229,7 +230,9 @@ def write_transcripts(
     partitioning the north rule requires; readers get conversation
     locality without a shuffle.
     """
-    df = transcripts(spark, n_turns=n_turns, n_convs=n_convs, seed=seed)
+    df = transcripts(
+        spark, n_turns=n_turns, n_convs=n_convs, seed=seed, lexicon_pdf=lexicon_pdf
+    )
     (
         df.withColumn("bucket", F.pmod(F.xxhash64("conv_id"), F.lit(buckets)).cast("int"))
         .repartition("bucket")
