@@ -1403,3 +1403,26 @@ def oracle_sql() -> dict[str, str]:
         FROM sh GROUP BY shingle
         ORDER BY n_docs DESC, shingle LIMIT 15"""
     return o
+
+
+def q_ivf_topk(spark, sf):
+    """IVF coarse-quantizer ANN (k-means clusters, nprobe probing) —
+    approximate by design; rows-only driver check (recall vs brute
+    force asserted in tests/test_operators.py::test_ivf_topk_recall)."""
+    emb = _t(spark, sf, "embeddings")
+    cents = vector.kmeans_centroids(emb, k=8, iters=3)
+    queries_df = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return vector.ivf_topk(emb, queries_df, cents, k=5, nprobe=3).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+queries_prev6 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q = queries_prev6()
+    q["ann_ivf_topk"] = q_ivf_topk
+    return q

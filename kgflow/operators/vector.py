@@ -252,3 +252,105 @@ def brute_force_topk_np(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic Lloyd iterations with DataFrame ops only.
+
+    Init: the k rows with the lowest ids (deterministic, no RNG).
+    Assign: broadcast centroid literals, argmin of squared distance.
+    Update: per-dimension mean via posexplode + avg (one shuffle per
+    iteration, k×dim result collected to the driver — centroids are
+    dimension-scale, the corpus never leaves executors).
+    """
+    seed_rows = (
+        corpus.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    centroids = [list(map(float, r[0])) for r in seed_rows]
+
+    for _ in range(iters):
+        assigned = assign_clusters(corpus, centroids, vec_col)
+        upd = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        for r in upd:
+            new[r["cluster"]][r["dim"]] = float(r["m"])
+        if new == centroids:
+            break
+        centroids = new
+    return centroids
+
+
+def assign_clusters(
+    corpus: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Adds ``cluster`` = argmin squared distance to the centroid list
+    (broadcast as literals; ties break to the lower cluster id)."""
+    dists = []
+    for ci, c in enumerate(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, y: (x.cast("double") - y) ** 2),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        dists.append(F.struct(d.alias("d"), F.lit(ci).alias("c")))
+    best = F.array_min(F.array(*dists))
+    return corpus.withColumn("cluster", best["c"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN: corpus rows carry a coarse cluster id; each query
+    probes its ``nprobe`` nearest clusters and scores only inside them.
+    At 100 TB the assignment is precomputed/partitioned-by-cluster, so a
+    probe touches nprobe/k of the data."""
+    c_assigned = assign_clusters(corpus, centroids, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "cluster"
+    )
+    # queries: nprobe nearest centroids each (tiny driver-side math is
+    # avoided — same argmin construction, exploded to nprobe rows)
+    dists = []
+    for ci, c in enumerate(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, y: (x.cast("double") - y) ** 2),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        dists.append(F.struct(d.alias("d"), F.lit(ci).alias("c")))
+    probes = F.slice(F.array_sort(F.array(*dists)), 1, nprobe)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(probes).alias("_p"),
+    ).select("query_id", "_qv", F.col("_p.c").alias("cluster"))
+    scored = c_assigned.join(F.broadcast(q), "cluster").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine("_qv", "_cv"), 4).alias("score"),
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )

@@ -140,3 +140,34 @@ def test_numpy_topk_matches_jvm_topk(spark):
     npy = {(r.query_id, r.rank): (r.neighbor_id, r.score)
            for r in vector.brute_force_topk_np(emb, q, k=5).collect()}
     assert jvm == npy
+
+
+def test_ivf_topk_recall(spark):
+    """IVF with nprobe=4/k=8 clusters on label-clustered vectors should
+    recover most of the exact top-5 (and every hit carries the exact
+    brute-force score)."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(400):
+        label = i % 8
+        center = np.zeros(16)
+        center[label * 2] = 3.0
+        rows.append((i, (center + rng.randn(16) * 0.3).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+
+    cents = vector.kmeans_centroids(emb, k=8, iters=4)
+    assert len(cents) == 8 and len(cents[0]) == 16
+
+    ivf = vector.ivf_topk(emb, q, cents, k=5, nprobe=4)
+    brute = vector.brute_force_topk(emb, q, k=5)
+    bset = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    iset = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    recall = len(bset & iset) / len(bset)
+    assert recall >= 0.8, recall
+    bscore = {(r.query_id, r.neighbor_id): r.score for r in brute.collect()}
+    for r in ivf.collect():
+        if (r.query_id, r.neighbor_id) in bscore:
+            assert bscore[(r.query_id, r.neighbor_id)] == r.score
