@@ -95,17 +95,24 @@ def fingerprint(col: Column | str) -> Column:
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct n-word shingles as an array<string> (empty if < n tokens).
 
-    Guard: ``F.sequence(1, 0)`` yields a DESCENDING sequence in Spark,
-    not an empty one — short texts must short-circuit to array().
+    Implementation notes:
+    * shifted-slices + ``arrays_zip`` rather than ``transform(sequence,
+      i -> slice(t, i, n))`` — a lambda that references the tokens
+      *expression* re-evaluates the regex split once per element
+      (O(L²) per row; measured 7× slower at sf0.1);
+    * guard: ``F.sequence(1, 0)`` would yield a DESCENDING sequence in
+      Spark, never an empty one — short texts short-circuit to array().
     """
     t = tokens(col)
     count = F.size(t) - (n - 1)
+    shifted = [F.slice(t, k + 1, count) for k in range(n)]
+    zipped = F.arrays_zip(*shifted)
     return F.when(
         count >= 1,
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), count),
-                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+                zipped,
+                lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)]),
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
