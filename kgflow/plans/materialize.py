@@ -65,9 +65,12 @@ def upsert(
             existing = existing.withColumn(order_col, F.lit(0))
         batch = existing.unionByName(batch, allowMissingColumns=True)
     value_cols = [c for c in batch.columns if c not in keys and c != order_col]
-    w = Window.partitionBy(*keys).orderBy(
-        F.desc(order_col), F.xxhash64(*[F.col(c).cast("string") for c in value_cols])
+    content_tiebreak = (
+        F.xxhash64(*[F.col(c).cast("string") for c in value_cols])
+        if value_cols
+        else F.lit(0)  # key-only table: rows are identical beyond the key
     )
+    w = Window.partitionBy(*keys).orderBy(F.desc(order_col), content_tiebreak)
     merged = (
         batch.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
