@@ -614,7 +614,7 @@ def _queries_part2():
     }
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     base = {
         "pricing_summary": q_pricing_summary,
@@ -726,22 +726,27 @@ def _lang_guess_sql() -> str:
         + f"], x))) AS h_{lang}"
         for lang in sorted(tx.LANG_MARKERS)
     )
-    mx = "greatest(h_de, h_en, h_es, h_fr)"
+    # derive argmax + tie-break from LANG_MARKERS like hit_cols does —
+    # Spark's array_max over (hits, lang) structs gives greater-lang-
+    # wins on ties, so the CASE checks languages in reverse order
+    langs = sorted(tx.LANG_MARKERS)
+    mx = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    case_branches = "\n       ".join(
+        f"WHEN h_{lg} = {mx} THEN '{lg}'" for lg in reversed(langs[1:])
+    )
     return f"""
 WITH t AS (SELECT lang, {_TOKS} AS toks FROM documents),
 h AS (SELECT lang, {hit_cols} FROM t)
 SELECT lang,
   CASE WHEN {mx} = 0 THEN 'und'
-       WHEN h_fr = {mx} THEN 'fr'
-       WHEN h_es = {mx} THEN 'es'
-       WHEN h_en = {mx} THEN 'en'
-       ELSE 'de' END AS guess,
+       {case_branches}
+       ELSE '{langs[0]}' END AS guess,
   COUNT(*)::BIGINT AS n
 FROM h GROUP BY 1, 2
 """
 
 
-def oracle_sql() -> dict[str, str]:
+def _base_oracles() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (multimodal_stub omitted → the
     driver records its weaker rows-only check for that one)."""
     sw = _sw_list()
@@ -1040,13 +1045,17 @@ def q_rank_dense_ntile(spark, sf):
 def q_pivot(spark, sf):
     """Pivot: order counts by priority × status (fixed value set)."""
     o = _t(spark, sf, "orders")
-    return (
+    piv = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.count(F.lit(1)))
-        .withColumnRenamed("F", "n_f")
-        .withColumnRenamed("O", "n_o")
-        .withColumnRenamed("P", "n_p")
+    )
+    # empty cells pivot to NULL; the oracle's SUM(CASE) yields 0
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
     )
 
 
@@ -1217,31 +1226,8 @@ def q_hybrid_search(spark, sf):
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
-queries_prev = queries
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    q = queries_prev()
-    q["hybrid_search"] = q_hybrid_search
-    return q
-
-
-oracle_sql_prev = oracle_sql
-
-
-def oracle_sql() -> dict[str, str]:
-    o = oracle_sql_prev()
-    o["hybrid_search"] = f"""
-        WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 4),
-        s AS (
-          SELECT q.query_id, e.vec_id AS neighbor_id,
-                 {_cosine_sql('q.qv', 'e.embedding')} AS score
-          FROM embeddings e, q WHERE e.label = 0 AND e.vec_id <> q.query_id)
-        SELECT query_id, neighbor_id, rank, score FROM (
-          SELECT *, row_number() OVER (PARTITION BY query_id
-                    ORDER BY score DESC, neighbor_id) AS rank FROM s)
-        WHERE rank <= 5"""
-    return o
 
 
 def q_salted_distinct(spark, sf):
@@ -1261,26 +1247,8 @@ def q_salted_distinct(spark, sf):
     )
 
 
-queries_prev2 = queries
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    q = queries_prev2()
-    q["salted_distinct"] = q_salted_distinct
-    return q
-
-
-oracle_sql_prev2 = oracle_sql
-
-
-def oracle_sql() -> dict[str, str]:
-    o = oracle_sql_prev2()
-    o["salted_distinct"] = """
-        SELECT o_orderstatus AS status,
-          array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
-          COUNT(DISTINCT o_orderpriority)::BIGINT AS n_priorities
-        FROM orders GROUP BY o_orderstatus"""
-    return o
 
 
 def q_substring_search(spark, sf):
@@ -1310,27 +1278,8 @@ def q_hash_embed_docs(spark, sf):
     )
 
 
-queries_prev3 = queries
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    q = queries_prev3()
-    q["substring_search"] = q_substring_search
-    q["hash_embed_docs"] = q_hash_embed_docs
-    return q
-
-
-oracle_sql_prev3 = oracle_sql
-
-
-def oracle_sql() -> dict[str, str]:
-    o = oracle_sql_prev3()
-    o["substring_search"] = """
-        SELECT p_partkey, p_name FROM part
-        WHERE contains(lower(p_name), 're')
-        ORDER BY p_partkey LIMIT 25"""
-    # hash_embed_docs intentionally omitted (pandas-UDF output)
-    return o
 
 
 def q_ann_brute_topk_np(spark, sf):
@@ -1345,22 +1294,8 @@ def q_ann_brute_topk_np(spark, sf):
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
-queries_prev4 = queries
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    q = queries_prev4()
-    q["ann_brute_topk_np"] = q_ann_brute_topk_np
-    return q
-
-
-oracle_sql_prev4 = oracle_sql
-
-
-def oracle_sql() -> dict[str, str]:
-    o = oracle_sql_prev4()
-    o["ann_brute_topk_np"] = o["ann_brute_topk"]
-    return o
 
 
 def q_boilerplate_shingles(spark, sf):
@@ -1378,31 +1313,8 @@ def q_boilerplate_shingles(spark, sf):
     )
 
 
-queries_prev5 = queries
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    q = queries_prev5()
-    q["boilerplate_shingles"] = q_boilerplate_shingles
-    return q
-
-
-oracle_sql_prev5 = oracle_sql
-
-
-def oracle_sql() -> dict[str, str]:
-    o = oracle_sql_prev5()
-    o["boilerplate_shingles"] = f"""
-        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-        sh AS (
-          SELECT doc_id, unnest(list_distinct(list_transform(
-            generate_series(1, len(t) - 2),
-            i -> array_to_string(t[i:i+2], ' ')))) AS shingle
-          FROM toks WHERE len(t) >= 3)
-        SELECT shingle, COUNT(DISTINCT doc_id)::BIGINT AS n_docs
-        FROM sh GROUP BY shingle
-        ORDER BY n_docs DESC, shingle LIMIT 15"""
-    return o
 
 
 def q_ivf_topk(spark, sf):
@@ -1419,10 +1331,68 @@ def q_ivf_topk(spark, sf):
     )
 
 
-queries_prev6 = queries
+
+
+# ---------------------------------------------------------------------------
+# consolidated registries (single source of truth for the driver)
+# ---------------------------------------------------------------------------
+
+_LATE_QUERIES = {
+    "hybrid_search": q_hybrid_search,
+    "salted_distinct": q_salted_distinct,
+    "substring_search": q_substring_search,
+    "hash_embed_docs": q_hash_embed_docs,
+    "ann_brute_topk_np": q_ann_brute_topk_np,
+    "boilerplate_shingles": q_boilerplate_shingles,
+    "ann_ivf_topk": q_ivf_topk,
+}
+
+
+def _late_oracles() -> dict[str, str]:
+    base = _base_oracles()
+    return {
+        "hybrid_search": f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 4),
+        s AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 {_cosine_sql('q.qv', 'e.embedding')} AS score
+          FROM embeddings e, q WHERE e.label = 0 AND e.vec_id <> q.query_id)
+        SELECT query_id, neighbor_id, rank, score FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id) AS rank FROM s)
+        WHERE rank <= 5""",
+        "salted_distinct": """
+        SELECT o_orderstatus AS status,
+          array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+          COUNT(DISTINCT o_orderpriority)::BIGINT AS n_priorities
+        FROM orders GROUP BY o_orderstatus""",
+        "substring_search": """
+        SELECT p_partkey, p_name FROM part
+        WHERE contains(lower(p_name), 're')
+        ORDER BY p_partkey LIMIT 25""",
+        "ann_brute_topk_np": base["ann_brute_topk"],
+        "boilerplate_shingles": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, len(t) - 2),
+            i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+          FROM toks WHERE len(t) >= 3)
+        SELECT shingle, COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+        FROM sh GROUP BY shingle
+        ORDER BY n_docs DESC, shingle LIMIT 15""",
+        # hash_embed_docs / ann_ivf_topk: pandas-UDF or approximate
+        # outputs — intentionally no oracle (driver rows-only check)
+    }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    q = queries_prev6()
-    q["ann_ivf_topk"] = q_ivf_topk
+    q = _base_queries()
+    q.update(_LATE_QUERIES)
     return q
+
+
+def oracle_sql() -> dict[str, str]:
+    o = _base_oracles()
+    o.update(_late_oracles())
+    return o

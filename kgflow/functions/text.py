@@ -46,7 +46,7 @@ def avg_token_len(col: Column | str) -> Column:
 
 
 def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
-    sw = stopwords or STOPWORDS
+    sw = STOPWORDS if stopwords is None else stopwords
     t = tokens(col)
     hits = F.size(F.filter(t, lambda x: x.isin(sw)))
     return hits / F.size(t)

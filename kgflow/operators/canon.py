@@ -98,7 +98,10 @@ def connected_components(
                 parent[hi] = lo
         members = sorted(set(parent) | {find(k) for k in parent})
         data = [(m, find(m)) for m in members]
-        return spark.createDataFrame(data, "id string, canonical_id string")
+        # preserve the caller's id type — hardcoding string would make
+        # the operator crash below the threshold but work above it
+        id_type = dict(e.dtypes)["a"]
+        return spark.createDataFrame(data, f"id {id_type}, canonical_id {id_type}")
 
     nodes = e.select(F.col("a").alias("id")).union(e.select("b")).distinct()
     labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)

@@ -46,7 +46,10 @@ def import_edge_table(
     """MonarchKG-style edge rows → (subj, pred, obj, props) triples.
 
     * taxon filter: keep rows whose taxon is null or contains the kept
-      taxon (P10, import_monarchkg_relationships.py:100-101);
+      taxon (P10 — substring-contains deliberately mirrors the
+      reference's own semantics, import_monarchkg_relationships.py:
+      100-101; note it also admits ids extending the kept one, e.g.
+      ``NCBITaxon:96061`` — a reference behavior, preserved for parity);
     * dynamic predicate from the row, trimmed (the reference passes
       ``biolink:causes`` through verbatim);
     * ``publications`` bracketed list parsed and carried as a

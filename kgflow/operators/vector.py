@@ -232,16 +232,20 @@ def brute_force_topk_np(
                 col = sims[:, qi]
                 mask = ids != qid
                 cand_ids = ids[mask]
-                cand = col[mask]
+                # round BEFORE selection and break ties by ascending id —
+                # the same ordering contract as brute_force_topk and the
+                # SQL oracle (selecting on raw scores could keep a
+                # different member of a rounds-equal tie group)
+                cand = np.round(col[mask], 4)
                 if len(cand) == 0:
                     continue
                 top = min(k_, len(cand))
-                sel = np.argpartition(-cand, top - 1)[:top]
+                order = np.lexsort((cand_ids, -cand))[:top]
                 yield pd.DataFrame(
                     {
                         "query_id": qid,
-                        "neighbor_id": cand_ids[sel],
-                        "score": np.round(cand[sel], 4),
+                        "neighbor_id": cand_ids[order],
+                        "score": cand[order],
                     }
                 )
 

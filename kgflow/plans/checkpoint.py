@@ -94,9 +94,19 @@ def run_resumable(
 
     ledger = read_ledger(spark, out_dir)
     if ledger is not None:
-        done = ledger.filter(F.col("status") == "done").select(
+        from ..operators.canon import dedup_keep_first
+
+        # only a bucket's LATEST ledger row reflects what is on disk —
+        # an older fingerprint may match re-reverted input while the
+        # partition still holds a different run's output
+        latest = dedup_keep_first(
+            ledger.filter(F.col("status") == "done"),
+            ["partition_id"],
+            [F.desc("ts"), F.desc("run_id")],
+        )
+        done = latest.select(
             F.col("partition_id").alias("bucket"), "input_fingerprint"
-        ).dropDuplicates(["bucket"])
+        )
         pending = fps.join(done, ["bucket", "input_fingerprint"], "left_anti")
     else:
         pending = fps
@@ -123,14 +133,25 @@ def run_resumable(
         ).otherwise(F.lit(-1)),
     ).drop("src_conv")
     # dynamic partition overwrite: only touched buckets are rewritten,
-    # so a re-run of the same bucket is idempotent.
+    # so a re-run of the same bucket is idempotent. A pending bucket
+    # whose new input yields ZERO triples writes no partition, which
+    # would leave its previous output stale — clear those explicitly
+    # (the parquet analogue of Iceberg's replaceWhere).
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    triples_dir = os.path.join(out_dir, "triples")
+    triples_b = triples_b.localCheckpoint(eager=True)
+    written = {r.bucket for r in triples_b.select("bucket").distinct().collect()}
     (
         triples_b.repartition("bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(os.path.join(out_dir, "triples"))
+        .parquet(triples_dir)
     )
+    import shutil
+
+    for b in pending_list:
+        if b not in written:
+            shutil.rmtree(os.path.join(triples_dir, f"bucket={b}"), ignore_errors=True)
 
     out = spark.read.parquet(os.path.join(out_dir, "triples")).filter(
         F.col("bucket").isin(pending_list + [-1])

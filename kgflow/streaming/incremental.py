@@ -45,6 +45,7 @@ def incremental_extract(
     """
     from ..plans import pipeline as P
 
+    lex = P.prepare_lexicon(terms)  # once per stream drain, not per batch
     stream = (
         spark.readStream.schema(schemas.TRANSCRIPT)
         .option("maxFilesPerTrigger", "64")
@@ -54,7 +55,7 @@ def incremental_extract(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         batches["n"] += 1
-        triples = P.build_triples(batch_df, terms, isa_edges)
+        triples = P.build_triples(batch_df, terms, isa_edges, lex=lex)
         triples.write.mode("append").parquet(os.path.join(out_dir, "triples"))
 
     q = (

@@ -99,3 +99,38 @@ def test_run_metrics_written(spark, transcripts, lexicon, tmp_path):
     assert m["rows_in"] == transcripts.count()
     assert m["triples"] == rep.triples_out > 0
     assert m["wall_sec"] > 0 and m["triples_per_sec"] > 0
+
+
+def test_zero_output_bucket_clears_stale_triples(spark, transcripts, lexicon, tmp_path):
+    """A re-processed bucket whose new input yields no triples must not
+    leave the previous run's triples on disk."""
+    terms, isa = lexicon
+    d = str(tmp_path / "stale")
+    cp.run_resumable(spark, transcripts, terms, isa, d, buckets=8)
+
+    # find the bucket of one conversation and gut it: single turn, no
+    # mentionable text -> that bucket produces zero triples
+    conv = "conv-000000"
+    b = cp.with_bucket(transcripts, 8).filter(F.col("conv_id") == conv).select("bucket").first().bucket
+    bucket_convs = [
+        r.conv_id
+        for r in cp.with_bucket(transcripts, 8)
+        .filter(F.col("bucket") == b)
+        .select("conv_id")
+        .distinct()
+        .collect()
+    ]
+    keep = transcripts.filter(~F.col("conv_id").isin(bucket_convs))
+    gutted = spark.createDataFrame(
+        [(c, 0, "user", "zzz", None, None) for c in bucket_convs],
+        transcripts.schema,
+    )
+    mutated = keep.unionByName(gutted)
+
+    rep = cp.run_resumable(spark, mutated, terms, isa, d, buckets=8)
+    assert rep.processed_buckets == 1
+    got = {tuple(r) for r in cp.read_triples(spark, d).collect()}
+    fresh_dir = str(tmp_path / "stale_fresh")
+    cp.run_resumable(spark, mutated, terms, isa, fresh_dir, buckets=8)
+    fresh = {tuple(r) for r in cp.read_triples(spark, fresh_dir).collect()}
+    assert got == fresh  # no stale triples from the gutted bucket
