@@ -437,16 +437,28 @@ def q_degree_topk(spark, sf):
 
 
 def q_cooccur_pattern(spark, sf):
-    """J10: co-pattern self-join — event-type pairs per user."""
+    """J10: co-pattern — event-type pairs per user. NOT a self-join: a
+    hot user would produce O(k²) join rows; instead collect the user's
+    (small) distinct type set in one shuffle and expand ordered pairs
+    in-row, the same shape as the KG pipeline's co-occurrence
+    (kgflow/plans/pipeline.py:136-156)."""
     e = _t(spark, sf, "events")
-    et = e.select("user_id", "event_type").dropDuplicates()
-    a = et.select("user_id", F.col("event_type").alias("et_a"))
-    b = et.select("user_id", F.col("event_type").alias("et_b"))
+    sets = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("ets")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ets"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ets"), i + 2, F.size(F.col("ets"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     return (
-        a.join(b, "user_id")
-        .filter(F.col("et_a") < F.col("et_b"))
-        .groupBy("et_a", "et_b")
-        .agg(F.countDistinct("user_id").alias("n_users"))
+        sets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("et_a"), F.col("p.b").alias("et_b"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )
 
 
@@ -502,10 +514,12 @@ def q_ann_lsh_topk(spark, sf):
 
 
 def q_embedding_neardup(spark, sf):
-    """Embedding-cosine near-duplicate pairs (threshold 0.2 — synthetic
-    vectors are near-orthogonal, so a high threshold returns nothing)."""
+    """Embedding-cosine near-duplicate pairs, sign-LSH bucketed (the
+    100 TB shape: equi join on the 4-plane bucket key, exact cosine
+    verify inside buckets — no all-pairs join). Threshold 0.2 because
+    the synthetic vectors are near-orthogonal."""
     return dedup.embedding_near_duplicates(
-        _t(spark, sf, "embeddings"), threshold=0.2
+        _t(spark, sf, "embeddings"), threshold=0.2, dim=64, n_planes=4
     )
 
 
@@ -942,9 +956,12 @@ def _base_oracles() -> dict[str, str]:
                         ORDER BY score DESC, neighbor_id) AS rank FROM s)
             WHERE rank <= 5""",
         "embedding_neardup": f"""
+            WITH bk AS (SELECT vec_id, embedding,
+                               {_lsh_bucket_sql('embedding')} AS bucket
+                        FROM embeddings)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.2""",
         "text_stats": f"""
             WITH t AS (
@@ -1060,18 +1077,38 @@ def q_pivot(spark, sf):
 
 
 def q_range_join(spark, sf):
-    """Range (interval) self-join: same-user event pairs within 60s."""
-    e = _t(spark, sf, "events")
-    a = e.select("user_id", F.col("event_id").alias("id_a"), F.col("ts").alias("ts_a"))
-    b = e.select("user_id", F.col("event_id").alias("id_b"), F.col("ts").alias("ts_b"))
-    pairs = a.join(b, "user_id").filter(
+    """Range (interval) join: same-user event pairs within 60s, banded.
+
+    Joining on user_id alone makes a hot user O(k²); banding each side
+    into 60-second time buckets turns it into an equi join on
+    (user_id, bucket) — a candidate pair can only live in the same or
+    the adjacent bucket, so the right side is exploded to 2 bucket keys
+    and the intermediate is O(events × local density), not O(k²)."""
+    e = _t(spark, sf, "events").withColumn(
+        "_tsl", F.col("ts").cast("timestamp").cast("long")
+    )
+    a = e.select(
+        "user_id",
+        F.col("event_id").alias("id_a"),
+        F.col("_tsl").alias("ts_a"),
+        F.floor(F.col("_tsl") / 60).alias("bkt"),
+    )
+    b = e.select(
+        "user_id",
+        F.col("event_id").alias("id_b"),
+        F.col("_tsl").alias("ts_b"),
+        # b in [a, a+60s] ⇒ b's bucket is a's or the one after ⇒ probe
+        # a.bkt ∈ {b.bkt, b.bkt - 1}
+        F.explode(
+            F.array(
+                F.floor(F.col("_tsl") / 60), F.floor(F.col("_tsl") / 60) - 1
+            )
+        ).alias("bkt"),
+    )
+    pairs = a.join(b, ["user_id", "bkt"]).filter(
         (F.col("id_a") < F.col("id_b"))
         & (F.col("ts_b") >= F.col("ts_a"))
-        & (
-            F.col("ts_b").cast("timestamp").cast("long")
-            - F.col("ts_a").cast("timestamp").cast("long")
-            <= 60
-        )
+        & (F.col("ts_b") - F.col("ts_a") <= 60)
     )
     return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
 

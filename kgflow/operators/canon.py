@@ -166,3 +166,34 @@ def apply_canonical(
             .drop(f"_m_{c}", f"_c_{c}")
         )
     return out
+
+
+def bounded_paths(
+    edges: DataFrame,
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded variable-length reachability (J12): all (src, dst) pairs
+    connected by a directed path of 1..max_hops edges, with the minimum
+    hop count — the reference's ``(:Hpo)<-[:SUBCLASSOF*1..3]-``
+    (``import_hpo.cql:271-273``) as an iterated self-join.
+
+    Each hop is one equi-join shuffle on the frontier's endpoint; the
+    frontier is deduped per round so diamond-shaped DAGs don't multiply
+    paths (only pair existence matters, not path count). max_hops is a
+    small constant, so the plan is max_hops-1 joins — no driver loop
+    over data, no unbounded iteration.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    paths = e.withColumn("depth", F.lit(1))
+    frontier = e
+    for d in range(2, max_hops + 1):
+        nxt = e.select(F.col("src").alias("_mid"), F.col("dst").alias("_dst"))
+        frontier = (
+            frontier.join(nxt, frontier["dst"] == nxt["_mid"])
+            .select("src", F.col("_dst").alias("dst"))
+            .distinct()
+        )
+        paths = paths.unionByName(frontier.withColumn("depth", F.lit(d)))
+    return paths.groupBy("src", "dst").agg(F.min("depth").alias("min_depth"))

@@ -78,13 +78,18 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing ≥1 LSH band.
 
     Scale shape: explode to (band_id, band_key, id), shuffle on the
     band key (short md5-concat string), self-pair within buckets. Hot
-    buckets (boilerplate text) are the skew risk — AQE skew-join plus
-    an optional bucket-size cap handle it.
+    buckets (boilerplate text) are the skew risk: ``max_bucket`` drops
+    buckets holding more than that many docs *before* pairing, bounding
+    any bucket's pair output at max_bucket²/2 and killing the straggler
+    task a boilerplate group would otherwise create. (Such groups are
+    exact or near-exact duplicates — the cheap exact-dedup tier, run
+    first, is the right tool for them, not pairwise LSH.)
     """
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
     n_bands = num_hashes // band_size
@@ -104,6 +109,15 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_key")
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        wb = Window.partitionBy("band_id", "band_key")
+        bands = (
+            bands.withColumn("_bn", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     l = bands.alias("l")
     r = bands.alias("r")
     return (
@@ -149,41 +163,43 @@ def jaccard_verify(
 
 
 def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """16-bit SimHash per document, fully JVM-side.
+    """16-bit SimHash per document, fully JVM-side and fully in-row.
 
     bit_i = sign of Σ_tokens (±1), where the ±1 for token t at position
     i is the high bit of the i-th nibble of md5(t). Portable: the same
     arithmetic runs in the DuckDB oracle.
+
+    Scale shape: a single narrow map — one ``F.aggregate`` pass over the
+    distinct-token hash array carries all 16 bit-sums in an array
+    accumulator, so there is **zero shuffle and zero row amplification**
+    (the earlier explode(sequence(1,16)) formulation multiplied every
+    token row 16× and paid two groupBy shuffles for the same numbers).
     """
-    toks = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(tx.tokens(text_col))).alias("tok")
-    ).repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    h = toks.select(id_col, F.md5("tok").alias("h"))
-    pos = h.select(
-        id_col,
-        F.explode(F.sequence(F.lit(1), F.lit(16))).alias("i"),
-        F.col("h"),
+    hashes = F.transform(F.array_distinct(tx.tokens(text_col)), lambda t: F.md5(t))
+    # accumulator = 16 running bit-sums; per hash, zip the accumulator
+    # with nibble positions 1..16 and add ±1 (nibble high bit: ≥ 8)
+    sums = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 16),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda a, i: a
+            + F.when(F.conv(h.substr(i, F.lit(1)), 16, 10).cast("int") >= 8, F.lit(1))
+            .otherwise(F.lit(-1)),
+        ),
     )
-    nibble = F.col("h").substr(F.col("i"), F.lit(1))
-    contrib = pos.select(
-        id_col,
-        "i",
-        # high bit of the hex nibble: value >= 8  ⇔ char ∈ '8'..'f'
-        F.when(F.conv(nibble, 16, 10).cast("int") >= 8, F.lit(1))
-        .otherwise(F.lit(-1))
-        .alias("c"),
+    powers = F.array(*[F.lit(1 << i) for i in range(16)])
+    simhash = F.aggregate(
+        F.zip_with(sums, powers, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0))),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
     )
-    bits = contrib.groupBy(id_col, "i").agg(F.sum("c").alias("s"))
-    # F.shiftleft needs a literal shift amount — use the SQL form for a
-    # column-valued shift
-    bit_value = F.expr("shiftleft(1, i - 1)")
+    # docs with no tokens are excluded (parity with the exploded
+    # formulation, where such docs produced no rows)
     return (
-        bits.groupBy(id_col)
-        .agg(
-            F.sum(F.when(F.col("s") > 0, bit_value).otherwise(F.lit(0))).alias(
-                "simhash"
-            )
-        )
+        docs.filter(F.size(tx.tokens(text_col)) > 0)
+        .select(F.col(id_col), simhash.alias("simhash"))
     )
 
 
@@ -192,12 +208,50 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 4,
+    seed: int = 13,
 ) -> DataFrame:
-    """Cosine near-dup pairs above threshold (brute-force scoring).
+    """Cosine near-dup pairs above threshold, sign-LSH bucketed.
 
-    At 100 TB this runs *after* LSH/IVF bucketing (see
-    operators.vector.lsh_bucket_topk); kept as the exact verifier.
+    Scale shape (mirrors the MinHash→Jaccard tier): every vector hashes
+    to a sign-LSH bucket (narrow map), candidate pairs form only inside
+    a bucket via an **equi join on the bucket key** (one shuffle on a
+    short string — no BroadcastNestedLoopJoin / cartesian over the
+    corpus), then the exact cosine verifies each candidate. Approximate
+    by construction: pairs in different buckets are never compared
+    (recall rises with fewer planes / multiple tables; see
+    ``embedding_near_duplicates_exact`` for the all-pairs verifier).
     """
+    from . import vector
+
+    planes = vector.hyperplanes(dim, n_planes, seed)
+    bucketed = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        vector.sign_bucket(vec_col, planes).alias("_bkt"),
+    )
+    a = bucketed.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("v_a"), "_bkt"
+    )
+    b = bucketed.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("v_b"), "_bkt"
+    )
+    pairs = a.join(b, "_bkt").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", F.round(vector.cosine("v_a", "v_b"), 4).alias("cosine")
+    )
+    return scored.filter(F.col("cosine") >= threshold)
+
+
+def embedding_near_duplicates_exact(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """All-pairs exact variant — O(n²), small inputs / recall
+    measurement only; the production path is the bucketed function."""
     from . import vector
 
     a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))

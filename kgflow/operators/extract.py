@@ -123,13 +123,25 @@ def extract_mentions(transcripts: DataFrame, surfaces: list[str]) -> DataFrame:
     return transcripts.select(*cols).mapInPandas(run, schema=_MENTION_OUT)
 
 
-def hash_embedding(df: DataFrame, text_col: str = "text", dim: int = 64) -> DataFrame:
+def hash_embedding(
+    df: DataFrame,
+    text_col: str = "text",
+    dim: int = 64,
+    model: str | None = None,
+    embedded_at: float | None = None,
+) -> DataFrame:
     """Deterministic hash 'embedding' — the torch-free stand-in for the
     reference's BERT encode (``neo4j_pubmed_batch_embeddings_processor.py:
     382-452``): tokenizing + feature hashing + L2 normalize, as an
     Arrow-batched pandas UDF (Series → Series of array<float>).
 
     Empty text → zero vector (``neo4j_cancerkg_builder.py:151-152``).
+
+    Per-vector provenance (E7): pass ``model`` (and optionally an epoch
+    ``embedded_at``) to add ``embedding_model`` / ``embedded_at`` columns
+    beside the vector — the reference stamps these during remediation
+    (``pubmed_embedding_remediation.py:59-69``); recording them at write
+    time makes the remediation pass unnecessary.
     """
     import zlib
 
@@ -151,4 +163,12 @@ def hash_embedding(df: DataFrame, text_col: str = "text", dim: int = 64) -> Data
             out.append(v.tolist())
         return pd.Series(out)
 
-    return df.withColumn("embedding", embed(F.col(text_col)))
+    out = df.withColumn("embedding", embed(F.col(text_col)))
+    if model is not None:
+        import time
+
+        stamp = embedded_at if embedded_at is not None else time.time()
+        out = out.withColumn("embedding_model", F.lit(model)).withColumn(
+            "embedded_at", F.timestamp_seconds(F.lit(float(stamp)))
+        )
+    return out

@@ -53,6 +53,34 @@ def link_mentions(mentions: DataFrame, dim: DataFrame) -> DataFrame:
     return mentions.join(F.broadcast(dim), "surface", "inner")
 
 
+def prefix_match_join(
+    facts: DataFrame,
+    dims: DataFrame,
+    fact_col: str,
+    dim_col: str,
+    sep: str = "_",
+) -> DataFrame:
+    """Theta 'STARTS WITH' join re-expressed as a derived-key equi join
+    (J3) — the reference's ``WHERE u.Entry_Name STARTS WITH
+    g.GENE_SYMBOL`` over UniProt entry names like ``BRCA1_HUMAN``
+    (``import_cosmic_genes.cql:41-46``).
+
+    A naive theta join is a nested loop (O(facts × dims)); structured
+    prefixes let Catalyst use a hash join on the derived first segment
+    instead, with the literal STARTS WITH kept as a post-join verify.
+    The dim side is dimension-scale → broadcast.
+    """
+    import re
+
+    key = F.split(F.col(fact_col), re.escape(sep))[0]
+    derived = facts.withColumn("_pk", key)
+    return (
+        derived.join(F.broadcast(dims), derived["_pk"] == dims[dim_col])
+        .filter(F.col(fact_col).startswith(F.concat(F.col(dim_col), F.lit(sep))))
+        .drop("_pk")
+    )
+
+
 def alt_id_edges(terms: DataFrame) -> DataFrame:
     """Same-as links (term_id ↔ alt_id) for canonicalization input.
 

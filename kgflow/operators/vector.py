@@ -209,15 +209,19 @@ def brute_force_topk_np(
     import pandas as pd
 
     spark = corpus.sparkSession
+    # contract: the query set is small (fits the driver/broadcast) —
+    # this collect is the deliberate boundary, not a hot-path leak
     qrows = queries.select(query_id_col, vec_col).collect()
     qids = [r[0] for r in qrows]
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
     qnorm = np.linalg.norm(qmat, axis=1)
     bc = spark.sparkContext.broadcast((qids, qmat, qnorm, k))
 
-    out_schema = (
-        f"query_id long, neighbor_id long, score double"
-    )
+    # derive output id types from the inputs — string/int corpora keep
+    # contract equivalence with the JVM brute_force_topk
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    nid_t = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {qid_t}, neighbor_id {nid_t}, score double"
 
     def score(batches):
         qids_, qmat_, qnorm_, k_ = bc.value

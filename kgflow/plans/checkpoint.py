@@ -39,7 +39,13 @@ def with_bucket(transcripts: DataFrame, buckets: int) -> DataFrame:
 
 
 def bucket_fingerprints(transcripts: DataFrame) -> DataFrame:
-    """(bucket, input_fingerprint, rows_in) — order-insensitive content hash."""
+    """(bucket, input_fingerprint, rows_in) — order-insensitive content hash.
+
+    ``rows_in`` is part of the resume match key, not just lineage: the
+    xor-agg cancels on even multiplicities (adding two copies of an
+    existing row leaves the xor unchanged), and the row count catches
+    every pure-duplication collision for free.
+    """
     row_hash = F.xxhash64("conv_id", "turn_idx", F.coalesce("text", F.lit("")))
     return transcripts.groupBy("bucket").agg(
         # xor-agg: order-insensitive, overflow-free under ANSI mode
@@ -48,6 +54,19 @@ def bucket_fingerprints(transcripts: DataFrame) -> DataFrame:
     ).select(
         "bucket", F.hex(F.col("_h")).alias("input_fingerprint"), "rows_in"
     )
+
+
+def table_fingerprint(df: DataFrame) -> str:
+    """Order-insensitive whole-table content hash (hex string) — used to
+    version the lexicon/ontology inputs inside the ledger match key, so
+    a changed term table invalidates every bucket's resume row."""
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in sorted(df.columns)]
+    row = (
+        df.select(F.xxhash64(*cols).alias("_h"))
+        .agg(F.bit_xor("_h").alias("_x"), F.count(F.lit(1)).alias("_n"))
+        .first()
+    )
+    return f"{(row['_x'] or 0) & 0xFFFFFFFFFFFFFFFF:016X}-{row['_n']}"
 
 
 @dataclass
@@ -91,9 +110,14 @@ def run_resumable(
     run_id = f"run-{int(t_start * 1000)}"
     tr = with_bucket(transcripts, buckets)
     fps = bucket_fingerprints(tr)
+    # terms/isa_edges are inputs to every bucket's triples (linking,
+    # HAS_NS, canonical mapping) — fold their content hash into the
+    # resume match key so a changed lexicon re-runs every bucket instead
+    # of silently serving stale fingerprint-matching output.
+    lex_fp = table_fingerprint(terms) + "|" + table_fingerprint(isa_edges)
 
     ledger = read_ledger(spark, out_dir)
-    if ledger is not None:
+    if ledger is not None and "lex_fingerprint" in ledger.columns:
         from ..operators.canon import dedup_keep_first
 
         # only a bucket's LATEST ledger row reflects what is on disk —
@@ -104,15 +128,35 @@ def run_resumable(
             ["partition_id"],
             [F.desc("ts"), F.desc("run_id")],
         )
-        done = latest.select(
-            F.col("partition_id").alias("bucket"), "input_fingerprint"
+        done = latest.filter(F.col("lex_fingerprint") == lex_fp).select(
+            F.col("partition_id").alias("bucket"), "input_fingerprint", "rows_in"
         )
-        pending = fps.join(done, ["bucket", "input_fingerprint"], "left_anti")
+        pending = fps.join(done, ["bucket", "input_fingerprint", "rows_in"], "left_anti")
     else:
+        # no ledger, or a pre-lex_fingerprint ledger (can't prove the
+        # lexicon matched) — everything is pending
         pending = fps
 
     pending_list = sorted(r.bucket for r in pending.select("bucket").collect())
     total = fps.count()
+
+    # A bucket whose input rows disappeared entirely produces no fps row
+    # and is never pending — its on-disk partition must be cleared here
+    # or read_triples keeps serving it (runs before the early return so
+    # a shrink-only change is still applied).
+    import shutil
+
+    triples_dir = os.path.join(out_dir, "triples")
+    if os.path.isdir(triples_dir):
+        valid = {int(r.bucket) for r in fps.select("bucket").collect()} | {-1}
+        for d in os.listdir(triples_dir):
+            if d.startswith("bucket="):
+                try:
+                    bv = int(d.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if bv not in valid:
+                    shutil.rmtree(os.path.join(triples_dir, d), ignore_errors=True)
     if fail_after_buckets is not None:
         pending_list = pending_list[:fail_after_buckets]
     if not pending_list:
@@ -136,18 +180,24 @@ def run_resumable(
     # so a re-run of the same bucket is idempotent. A pending bucket
     # whose new input yields ZERO triples writes no partition, which
     # would leave its previous output stale — clear those explicitly
-    # (the parquet analogue of Iceberg's replaceWhere).
+    # (the parquet analogue of Iceberg's replaceWhere). The session conf
+    # is restored afterwards so unrelated writes keep their semantics.
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    triples_dir = os.path.join(out_dir, "triples")
-    triples_b = triples_b.localCheckpoint(eager=True)
-    written = {r.bucket for r in triples_b.select("bucket").distinct().collect()}
-    (
-        triples_b.repartition("bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(triples_dir)
-    )
-    import shutil
+    try:
+        triples_b = triples_b.localCheckpoint(eager=True)
+        written = {r.bucket for r in triples_b.select("bucket").distinct().collect()}
+        (
+            triples_b.repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(triples_dir)
+        )
+    finally:
+        if prev_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
     for b in pending_list:
         if b not in written:
@@ -169,6 +219,7 @@ def run_resumable(
                 "run_id": run_id,
                 "partition_id": int(b),
                 "input_fingerprint": fp,
+                "lex_fingerprint": lex_fp,
                 "rows_in": int(rows_in),
                 "triples_out": int(stats.get(b, 0)),
                 "status": "done",

@@ -50,13 +50,34 @@ def upsert(
     path: str,
     keys: list[str],
     order_col: str = "_batch_seq",
+    mode: str = "latest_wins",
+    merge_cols: list[str] | None = None,
 ) -> None:
     """MERGE-semantics upsert: one row per key, highest ``order_col`` wins;
     ties broken deterministically by the remaining columns' hash (no
-    first-writer-wins nondeterminism — SURVEY.md §7.5.2)."""
+    first-writer-wins nondeterminism — SURVEY.md §7.5.2).
+
+    ``mode="merge_props"`` reproduces the reference's ON MATCH
+    aggregate-merge (``david_gene_name.cql:40-42``: ``SET g.GENE_NAME =
+    g.GENE_NAME + "," + row.GENE_NAME``): for each column in
+    ``merge_cols`` the surviving value is the comma-join of the sorted
+    distinct values seen across all batches (order-insensitive — the
+    deterministic replacement for the reference's arrival-order concat,
+    and what makes re-running the same batch a no-op); the remaining
+    columns keep latest-batch-wins semantics.
+    """
     spark = df.sparkSession
     existing = read_table(spark, path)
+    # Monotonic batch sequence: next = max(existing) + 1, so two upserts
+    # within one wall-clock millisecond (or across a clock regression)
+    # still order by call order; the wall clock only seeds the first
+    # write. The max() is a tiny agg over the keyed snapshot this
+    # fallback sink rewrites anyway (Iceberg MERGE INTO needs no seq).
     seq = int(time.time() * 1000)
+    if existing is not None and order_col in existing.columns:
+        prev = existing.agg(F.max(order_col)).first()[0]
+        if prev is not None:
+            seq = max(seq, int(prev) + 1)
     batch = df
     if order_col not in batch.columns:
         batch = batch.withColumn(order_col, F.lit(seq))
@@ -64,6 +85,11 @@ def upsert(
         if order_col not in existing.columns:
             existing = existing.withColumn(order_col, F.lit(0))
         batch = existing.unionByName(batch, allowMissingColumns=True)
+    if mode == "merge_props":
+        write_snapshot(
+            merge_props_resolve(batch, keys, merge_cols or [], order_col), path
+        )
+        return
     value_cols = [c for c in batch.columns if c not in keys and c != order_col]
     content_tiebreak = (
         F.xxhash64(*[F.col(c).cast("string") for c in value_cols])
@@ -77,6 +103,44 @@ def upsert(
         .drop("_rn")
     )
     write_snapshot(merged, path)
+
+
+def merge_props_resolve(
+    batch: DataFrame,
+    keys: list[str],
+    merge_cols: list[str],
+    order_col: str = "_batch_seq",
+) -> DataFrame:
+    """Pure resolution rule behind ``upsert(mode="merge_props")`` (C1).
+
+    One row per key. ``merge_cols`` values are split on ',', flattened
+    across all rows of the key group, deduped, sorted, re-joined with
+    ',' — the order-insensitive form of Neo4j's ``ON MATCH SET x = x +
+    "," + row.x`` (``david_gene_name.cql:40-42``). Other value columns
+    take the latest batch's value (ties broken by max — deterministic).
+    Exposed separately so the same rule is oracle-checkable without a
+    filesystem sink.
+    """
+    other = [c for c in batch.columns if c not in keys and c not in merge_cols and c != order_col]
+    aggs = [
+        F.array_join(
+            F.array_sort(
+                F.filter(
+                    F.array_distinct(
+                        F.flatten(
+                            F.collect_list(F.split(F.coalesce(F.col(c), F.lit("")), ","))
+                        )
+                    ),
+                    lambda x: x != "",
+                )
+            ),
+            ",",
+        ).alias(c)
+        for c in merge_cols
+    ]
+    aggs += [F.max_by(F.col(c), F.struct(F.col(order_col), F.col(c))).alias(c) for c in other]
+    out = batch.groupBy(*keys).agg(*aggs)
+    return out.select(*keys, *merge_cols, *other)
 
 
 def write_snapshot(df: DataFrame, path: str) -> str:

@@ -162,3 +162,91 @@ def load_obo(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
 def write_json(df: DataFrame, path: str) -> None:
     """S13: graph/JSON export (cancer_pubmed_data_miner.py:547-551)."""
     df.write.mode("overwrite").json(path)
+
+
+_BIB_FIELDS = [
+    "pmid",
+    "title",
+    "author",
+    "year",
+    "journal",
+    "doi",
+    "abstract",
+    "pages",
+    "number",
+    "volume",
+]
+
+
+def _clean_braces(s: str) -> str:
+    return s.replace("{{", "").replace("}}", "").replace("{", "").replace("}", "").strip()
+
+
+def parse_bibtex(text: str) -> pd.DataFrame:
+    """Minimal BibTeX parser (S9) for standard ``@type{ID, k = {v}, …}``
+    entries — the fields and cleanups the reference extracts with
+    bibtexparser (``import_readcube_papers.py:86-145``): brace stripping,
+    ``' and '``-split author list, ``curated`` = entry ID != 'undefined'.
+
+    One row per entry: (entry_type, entry_id, curated, authors,
+    *_BIB_FIELDS minus author). Driver-side by design — curated .bib
+    exports are dimension-scale, like the reference's in-process parse.
+    """
+    import re
+
+    rows: list[dict] = []
+    for m in re.finditer(r"@(\w+)\s*\{", text):
+        etype = m.group(1).lower()
+        # find the balanced closing brace of this entry
+        depth, i = 1, m.end()
+        while i < len(text) and depth:
+            if text[i] == "{":
+                depth += 1
+            elif text[i] == "}":
+                depth -= 1
+            i += 1
+        body = text[m.end() : i - 1]
+        head, _, fields_src = body.partition(",")
+        entry: dict = {"entry_type": etype, "entry_id": head.strip()}
+        for fm in re.finditer(
+            r"(\w[\w-]*)\s*=\s*(\{(?:[^{}]|\{[^{}]*\})*\}|\"[^\"]*\"|[^,\n]+)",
+            fields_src,
+        ):
+            key = fm.group(1).lower()
+            val = fm.group(2).strip()
+            if val[:1] in "{\"":
+                val = val[1:-1]
+            entry[key] = _clean_braces(val)
+        entry["curated"] = entry["entry_id"] != "undefined"
+        entry["authors"] = [
+            _clean_braces(a.strip())
+            for a in entry.get("author", "").split(" and ")
+            if a.strip()
+        ]
+        rows.append(entry)
+    cols = ["entry_type", "entry_id", "curated", "authors"] + [
+        f for f in _BIB_FIELDS if f != "author"
+    ]
+    pdf = pd.DataFrame(rows)
+    for c in cols:
+        if c not in pdf.columns:
+            pdf[c] = "" if c != "authors" else [[] for _ in range(len(pdf))]
+    return pdf[cols].fillna("")
+
+
+def load_bibtex(spark: SparkSession, path: str) -> DataFrame:
+    """S9 scan: .bib file → article DataFrame, filtered the way the
+    reference's importer is (@article entries only, curated, pmid
+    present — ``import_readcube_papers.py:146-186``)."""
+    with open(path, encoding="utf-8") as fh:
+        pdf = parse_bibtex(fh.read())
+    df = spark.createDataFrame(
+        pdf,
+        schema="entry_type string, entry_id string, curated boolean, "
+        "authors array<string>, pmid string, title string, year string, "
+        "journal string, doi string, abstract string, pages string, "
+        "number string, volume string",
+    )
+    return df.filter(
+        (F.col("entry_type") == "article") & F.col("curated") & (F.col("pmid") != "")
+    )

@@ -134,3 +134,90 @@ def test_zero_output_bucket_clears_stale_triples(spark, transcripts, lexicon, tm
     cp.run_resumable(spark, mutated, terms, isa, fresh_dir, buckets=8)
     fresh = {tuple(r) for r in cp.read_triples(spark, fresh_dir).collect()}
     assert got == fresh  # no stale triples from the gutted bucket
+
+
+def test_lexicon_change_invalidates_resume(spark, transcripts, lexicon, tmp_path):
+    """terms/isa are inputs to every bucket: a changed lexicon must
+    re-run all buckets, not serve stale fingerprint-matching output."""
+    terms, isa = lexicon
+    d = str(tmp_path / "lexchg")
+    cp.run_resumable(spark, transcripts, terms, isa, d, buckets=8)
+
+    drop_id = terms.select("term_id").orderBy("term_id").first().term_id
+    terms2 = terms.filter(F.col("term_id") != drop_id)
+    rep = cp.run_resumable(spark, transcripts, terms2, isa, d, buckets=8)
+    assert rep.skipped_buckets == 0
+    assert rep.processed_buckets == rep.total_buckets
+
+    fresh_dir = str(tmp_path / "lexchg_fresh")
+    cp.run_resumable(spark, transcripts, terms2, isa, fresh_dir, buckets=8)
+    assert _triple_set(spark, d) == _triple_set(spark, fresh_dir)
+
+
+def test_disappeared_bucket_partition_cleared(spark, transcripts, lexicon, tmp_path):
+    """A bucket whose input rows vanish entirely produces no fingerprint
+    row and is never pending — its on-disk partition must still be
+    cleared so read_triples stops serving it."""
+    terms, isa = lexicon
+    d = str(tmp_path / "gone")
+    cp.run_resumable(spark, transcripts, terms, isa, d, buckets=8)
+
+    b = (
+        cp.with_bucket(transcripts, 8)
+        .filter(F.col("conv_id") == "conv-000000")
+        .select("bucket")
+        .first()
+        .bucket
+    )
+    bucket_convs = [
+        r.conv_id
+        for r in cp.with_bucket(transcripts, 8)
+        .filter(F.col("bucket") == b)
+        .select("conv_id")
+        .distinct()
+        .collect()
+    ]
+    shrunk = transcripts.filter(~F.col("conv_id").isin(bucket_convs))
+    rep = cp.run_resumable(spark, shrunk, terms, isa, d, buckets=8)
+    assert rep.processed_buckets == 0  # surviving buckets are unchanged
+
+    fresh_dir = str(tmp_path / "gone_fresh")
+    cp.run_resumable(spark, shrunk, terms, isa, fresh_dir, buckets=8)
+    assert _triple_set(spark, d) == _triple_set(spark, fresh_dir)
+
+
+def test_upsert_latest_call_wins_within_millisecond(spark, tmp_path):
+    """The batch sequence is monotonic per call (max existing + 1), so
+    back-to-back upserts inside one wall-clock millisecond still resolve
+    latest-call-wins instead of falling to the content-hash tiebreak."""
+    path = str(tmp_path / "fast")
+    for val in ["v1", "v2", "v3"]:
+        mat.upsert(
+            spark.createDataFrame([("k", val)], "id string, val string"), path, ["id"]
+        )
+    rows = mat.read_table(spark, path).select("id", "val").collect()
+    assert [(r.id, r.val) for r in rows] == [("k", "v3")]
+
+
+def test_upsert_merge_props(spark, tmp_path):
+    """C1 ON MATCH aggregate-merge (david_gene_name.cql:40-42): merge
+    columns concat-on-collision (sorted distinct), others latest-wins."""
+    path = str(tmp_path / "genes")
+    b1 = spark.createDataFrame(
+        [("g1", "alpha", 1), ("g2", "beta", 2)], "id string, names string, score int"
+    )
+    mat.upsert(b1, path, ["id"], mode="merge_props", merge_cols=["names"])
+    b2 = spark.createDataFrame([("g1", "gamma", 9)], "id string, names string, score int")
+    mat.upsert(b2, path, ["id"], mode="merge_props", merge_cols=["names"])
+    got = {
+        (r.id, r.names, r.score)
+        for r in mat.read_table(spark, path).select("id", "names", "score").collect()
+    }
+    assert got == {("g1", "alpha,gamma", 9), ("g2", "beta", 2)}
+    # idempotent re-apply: the same batch adds no new distinct values
+    mat.upsert(b2, path, ["id"], mode="merge_props", merge_cols=["names"])
+    got2 = {
+        (r.id, r.names, r.score)
+        for r in mat.read_table(spark, path).select("id", "names", "score").collect()
+    }
+    assert got2 == got

@@ -171,3 +171,70 @@ def test_ivf_topk_recall(spark):
     for r in ivf.collect():
         if (r.query_id, r.neighbor_id) in bscore:
             assert bscore[(r.query_id, r.neighbor_id)] == r.score
+
+
+def test_embedding_neardup_bucketed_plan_and_recall(spark):
+    """The production near-dup path must be an equi join on the LSH
+    bucket key — no BroadcastNestedLoopJoin / cartesian over the corpus
+    — and must find all identical-vector pairs (same bucket by
+    construction), matching the exact verifier on them."""
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    # 3 clusters of 4 identical vectors + 20 random vectors
+    for c in range(3):
+        v = [rng.uniform(-1, 1) for _ in range(16)]
+        for j in range(4):
+            rows.append((c * 10 + j, v))
+    for i in range(20):
+        rows.append((100 + i, [rng.uniform(-1, 1) for _ in range(16)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    approx = dedup.embedding_near_duplicates(emb, threshold=0.999, dim=16, n_planes=4)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    exact = dedup.embedding_near_duplicates_exact(emb, threshold=0.999)
+    got = {(r.id_a, r.id_b) for r in approx.collect()}
+    want = {(r.id_a, r.id_b) for r in exact.collect()}
+    assert want  # the identical-vector pairs exist
+    assert got == want  # identical vectors share a bucket -> full recall here
+
+
+def test_minhash_hot_bucket_cap_bounds_boilerplate(spark):
+    """1k identical docs (boilerplate) without a cap produce ~500k
+    candidate pairs; with max_bucket the hot buckets are dropped and the
+    pair output is bounded while genuine near-dup pairs survive."""
+    boiler = "subscribe to our newsletter for updates and offers every single day"
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    rows = [(i, boiler) for i in range(1000)] + [(2001, base), (2002, near)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = dedup.minhash_lsh_pairs(docs, max_bucket=10).collect()
+    pairs = {(r.id_a, r.id_b) for r in capped}
+    assert (2001, 2002) in pairs  # genuine near-dups survive
+    # every boilerplate bucket (1000 docs) is dropped -> bounded output
+    assert len(pairs) <= 10 * 10 * 4
+    assert not any(a < 1000 and b < 1000 for a, b in pairs)
+
+
+def test_numpy_topk_string_ids(spark):
+    """brute_force_topk_np must keep contract equivalence with the JVM
+    variant for non-long id columns (e.g. doc-URI strings)."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(f"doc:{i:03d}", [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < "doc:003").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        tuple(r)
+        for r in vector.brute_force_topk_np(emb, q, k=4).collect()
+    }
+    want = {tuple(r) for r in vector.brute_force_topk(emb, q, k=4).collect()}
+    assert got == want
