@@ -576,37 +576,71 @@ def q_sessionize(spark, sf):
     return sessionize.session_stats(_t(spark, sf, "events"))
 
 
-def q_multimodal_stub(spark, sf):
-    """Multimodal plumbing: binary payload column + metadata extraction
-    via mapInPandas. The 'decode' is a deterministic fake (no image libs
-    in this container — clearly marked); schema/partitioning/batch shape
-    are real. NO oracle entry → driver records rows-only."""
+def q_multimodal_decode(spark, sf):
+    """Multimodal columns: a REAL (if minimal) image decode.
+
+    Build: each doc gets a valid PNG signature + IHDR chunk as a binary
+    payload, constructed JVM-side (hex concat + to_binary + crc32 — the
+    CRC is the genuine PNG chunk CRC over type+data). Decode: pure-Python
+    struct parsing of the signature/IHDR/CRC in an Arrow-batched
+    mapInPandas — the same plumbing (binary column, batch shape, typed
+    output schema) a cv2/pillow decode would use, but verifiable: the
+    oracle recomputes width/height/depth from doc_id and crc_ok asserts
+    the JVM-built CRC round-trips through zlib."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
     import pandas as pd  # noqa: PLC0415
 
+    width = (F.lit(64) + F.col("doc_id") % 192).cast("long")
+    height = (F.lit(64) + (F.col("doc_id") * 7) % 128).cast("long")
+    ihdr = F.concat(
+        F.lpad(F.hex(width), 8, "0"),
+        F.lpad(F.hex(height), 8, "0"),
+        F.lit("0802000000"),  # bit depth 8, color type 2 (RGB), no interlace
+    )
+    crc = F.crc32(F.to_binary(F.concat(F.lit("49484452"), ihdr), F.lit("hex")))
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A"),  # PNG signature
+        F.lit("0000000D"),  # IHDR length = 13
+        F.lit("49484452"),  # 'IHDR'
+        ihdr,
+        F.lpad(F.hex(crc), 8, "0"),
+    )
     d = _t(spark, sf, "documents").select(
-        "doc_id",
-        F.to_binary(F.md5("text"), F.lit("hex")).alias("payload"),
-        F.lit("image/fake").alias("mime"),
+        "doc_id", F.to_binary(png_hex, F.lit("hex")).alias("payload")
     )
 
     def decode(batches):
         for pdf in batches:
-            # STUB: a real pipeline would cv2.imdecode here; we derive
-            # deterministic pseudo-dimensions from the payload bytes.
-            out = pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "mime": pdf["mime"],
-                    "n_bytes": [len(b) for b in pdf["payload"]],
-                    "width": [64 + b[0] % 64 for b in pdf["payload"]],
-                    "height": [64 + b[1] % 64 for b in pdf["payload"]],
-                }
-            )
-            yield out
+            out = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "bit_depth": [],
+                "color_type": [],
+                "crc_ok": [],
+                "n_bytes": [],
+            }
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(b)
+                assert b[:8] == b"\x89PNG\r\n\x1a\n", "bad PNG signature"
+                assert b[12:16] == b"IHDR"
+                w, h = struct.unpack(">II", b[16:24])
+                crc_stored = struct.unpack(">I", b[29:33])[0]
+                out["doc_id"].append(did)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["bit_depth"].append(b[24])
+                out["color_type"].append(b[25])
+                out["crc_ok"].append(zlib.crc32(b[12:29]) == crc_stored)
+                out["n_bytes"].append(len(b))
+            yield pd.DataFrame(out)
 
     return d.mapInPandas(
         decode,
-        schema="doc_id long, mime string, n_bytes long, width long, height long",
+        schema="doc_id long, width long, height long, bit_depth long, "
+        "color_type long, crc_ok boolean, n_bytes long",
     )
 
 
@@ -624,7 +658,7 @@ def _queries_part2():
         "doc_fingerprint": q_fingerprint,
         "quality_score": q_quality_score,
         "sessionize": q_sessionize,
-        "multimodal_stub": q_multimodal_stub,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -761,8 +795,7 @@ FROM h GROUP BY 1, 2
 
 
 def _base_oracles() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (multimodal_stub omitted → the
-    driver records its weaker rows-only check for that one)."""
+    """DuckDB-equivalent SQL per query."""
     sw = _sw_list()
     quality_q4 = (
         "CAST(round(round((least(len(t)/100.0, 1.0) + "
@@ -1371,6 +1404,226 @@ def q_ivf_topk(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# round-2 operators: S8 record parse, J3 prefix join, J12 bounded paths,
+# C1 merge_props, real multimodal decode
+# ---------------------------------------------------------------------------
+
+
+def q_doc_parse_fields(spark, sf):
+    """S8 part 1: nested-record scalar extraction — pmid/title + labeled
+    abstract-section concat (neo4j_pubmed_batch_embeddings_processor.py:
+    104-133), over records synthesized deterministically from documents."""
+    from kgflow.operators import docparse
+
+    recs = docparse.synth_json_records(_t(spark, sf, "documents"))
+    return docparse.parse_records(recs).select("pmid", "title", "abstract")
+
+
+def q_doc_parse_triples(spark, sf):
+    """S8 part 2: nested arrays → edges. AUTHORED with 1-based position
+    (PubMedAbstractEmbedding.py:184-192) + HAS_MESH_TERM
+    (PubMedAbstractEmbedding.py:205-215)."""
+    from kgflow.operators import docparse
+
+    recs = docparse.synth_json_records(_t(spark, sf, "documents"))
+    return docparse.doc_edge_triples(docparse.parse_records(recs))
+
+
+def q_prefix_match_join(spark, sf):
+    """J3: STARTS WITH theta join as a derived-key equi join
+    (import_cosmic_genes.cql:41-46). Entry names PREFIX_key are matched
+    to the symbol dimension on their first '_' segment."""
+    from kgflow.operators import link
+
+    p = _t(spark, sf, "part")
+    first_word = F.upper(F.split(F.col("p_name"), " ")[0])
+    entries = p.select(
+        F.concat(first_word, F.lit("_"), F.col("p_partkey").cast("string")).alias(
+            "entry_name"
+        )
+    )
+    symbols = p.select(first_word.alias("symbol")).distinct()
+    joined = link.prefix_match_join(entries, symbols, "entry_name", "symbol")
+    return joined.groupBy("symbol").agg(F.count(F.lit(1)).alias("n_entries"))
+
+
+def q_path_upto3(spark, sf):
+    """J12: bounded variable-length path *1..3 (import_hpo.cql:271-273)
+    over the containment hierarchy order→customer→nation→region;
+    aggregated to (src node type, dst, n) so the result stays compact."""
+    from kgflow.operators import canon
+
+    orders = _t(spark, sf, "orders")
+    customer = _t(spark, sf, "customer")
+    supplier = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+
+    def uri(prefix, col):
+        return F.concat(F.lit(prefix + ":"), F.col(col).cast("string"))
+
+    edges = (
+        orders.select(uri("order", "o_orderkey").alias("src"), uri("cust", "o_custkey").alias("dst"))
+        .unionByName(customer.select(uri("cust", "c_custkey").alias("src"), uri("nation", "c_nationkey").alias("dst")))
+        .unionByName(supplier.select(uri("supplier", "s_suppkey").alias("src"), uri("nation", "s_nationkey").alias("dst")))
+        .unionByName(nation.select(uri("nation", "n_nationkey").alias("src"), uri("region", "n_regionkey").alias("dst")))
+    )
+    paths = canon.bounded_paths(edges, max_hops=3)
+    return (
+        paths.groupBy(
+            F.split("src", ":")[0].alias("src_kind"), "dst", "min_depth"
+        ).agg(F.count(F.lit(1)).alias("n_srcs"))
+    )
+
+
+def q_merge_props_upsert(spark, sf):
+    """C1 ON MATCH aggregate-merge resolution rule (david_gene_name.cql:
+    40-42): merge cols concat sorted-distinct on collision, other cols
+    latest-batch-wins — the pure function behind upsert(mode=
+    'merge_props'), simulated over two customer batches."""
+    from kgflow.plans import materialize
+
+    c = _t(spark, sf, "customer")
+    rows = c.select(
+        (F.col("c_custkey") % 50).alias("gid"),
+        F.col("c_mktsegment").alias("segs"),
+        F.col("c_acctbal").alias("bal"),
+        F.when(F.col("c_custkey") < 750, F.lit(1)).otherwise(F.lit(2)).alias("seq"),
+    )
+    return materialize.merge_props_resolve(rows, ["gid"], ["segs"], "seq")
+
+
+_DOCREC_SQL = r"""
+WITH dtoks AS (
+  SELECT doc_id, lang, source, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents
+),
+rec AS (
+  SELECT doc_id, to_json(struct_pack(
+    pmid := CAST(doc_id AS VARCHAR),
+    title := coalesce(array_to_string(t[1:5], ' '), ''),
+    -- DuckDB slices past the list end yield NULL where Spark's slice()
+    -- yields an empty array -> coalesce to ''
+    abstract := [
+      struct_pack(label := 'BACKGROUND', "text" := coalesce(array_to_string(t[6:13], ' '), '')),
+      struct_pack(label := '', "text" := coalesce(array_to_string(t[14:21], ' '), ''))
+    ],
+    authors := list_transform(generate_series(1, CAST(doc_id % 3 + 1 AS INT)),
+      i -> struct_pack(
+        last_name := 'Auth' || doc_id || '_' || i,
+        first_name := 'First',
+        initials := 'A' || i)),
+    mesh := [upper(lang), upper(source)]
+  )) AS j FROM dtoks
+)
+"""
+
+
+def _r2_oracles() -> dict[str, str]:
+    return {
+        "multimodal_decode": """
+            SELECT doc_id,
+              64 + doc_id % 192 AS width,
+              64 + (doc_id * 7) % 128 AS height,
+              CAST(8 AS BIGINT) AS bit_depth,
+              CAST(2 AS BIGINT) AS color_type,
+              TRUE AS crc_ok,
+              CAST(33 AS BIGINT) AS n_bytes
+            FROM documents""",
+        "doc_parse_fields": _DOCREC_SQL + """
+            SELECT json_extract_string(j, '$.pmid') AS pmid,
+              json_extract_string(j, '$.title') AS title,
+              array_to_string(list_transform(
+                generate_series(1, CAST(json_array_length(j, '$.abstract') AS INT)),
+                i -> CASE WHEN json_extract_string(j, '$.abstract[' || CAST(i - 1 AS VARCHAR) || '].label') <> ''
+                          THEN json_extract_string(j, '$.abstract[' || CAST(i - 1 AS VARCHAR) || '].label') || ': ' ||
+                               json_extract_string(j, '$.abstract[' || CAST(i - 1 AS VARCHAR) || '].text')
+                          ELSE json_extract_string(j, '$.abstract[' || CAST(i - 1 AS VARCHAR) || '].text') END),
+                ' ') AS abstract
+            FROM rec""",
+        "doc_parse_triples": _DOCREC_SQL + """
+            , authored AS (
+              SELECT s.subj AS subj, 'AUTHORED' AS pred,
+                     'pmid:' || json_extract_string(j, '$.pmid') AS obj, s.pos AS pos
+              FROM (
+                SELECT j, unnest(list_transform(
+                  generate_series(1, CAST(json_array_length(j, '$.authors') AS INT)),
+                  i -> struct_pack(
+                    subj := 'author:' ||
+                      json_extract_string(j, '$.authors[' || CAST(i - 1 AS VARCHAR) || '].last_name')
+                      || ':' ||
+                      json_extract_string(j, '$.authors[' || CAST(i - 1 AS VARCHAR) || '].initials'),
+                    pos := CAST(i AS BIGINT)))) AS s
+                FROM rec)
+            ),
+            meshed AS (
+              SELECT 'pmid:' || json_extract_string(j, '$.pmid') AS subj,
+                     'HAS_MESH_TERM' AS pred, 'mesh:' || m AS obj,
+                     CAST(NULL AS BIGINT) AS pos
+              FROM (
+                SELECT j, unnest(list_transform(
+                  generate_series(1, CAST(json_array_length(j, '$.mesh') AS INT)),
+                  i -> json_extract_string(j, '$.mesh[' || CAST(i - 1 AS VARCHAR) || ']'))) AS m
+                FROM rec)
+            )
+            SELECT DISTINCT subj, pred, obj, pos FROM (
+              SELECT * FROM authored UNION ALL SELECT * FROM meshed)""",
+        "prefix_match_join": """
+            WITH e AS (
+              SELECT upper(regexp_split_to_array(p_name, ' ')[1]) || '_' || p_partkey AS entry_name
+              FROM part),
+            s AS (
+              SELECT DISTINCT upper(regexp_split_to_array(p_name, ' ')[1]) AS symbol
+              FROM part)
+            SELECT s.symbol, COUNT(*)::BIGINT AS n_entries
+            FROM e JOIN s ON starts_with(e.entry_name, s.symbol || '_')
+            GROUP BY s.symbol""",
+        "path_upto3": """
+            WITH RECURSIVE edges AS (
+              SELECT 'order:' || o_orderkey AS src, 'cust:' || o_custkey AS dst FROM orders
+              UNION ALL
+              SELECT 'cust:' || c_custkey, 'nation:' || c_nationkey FROM customer
+              UNION ALL
+              SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+              UNION ALL
+              SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
+            ),
+            p AS (
+              SELECT src, dst, 1 AS depth FROM edges
+              UNION ALL
+              SELECT p.src, e.dst, p.depth + 1
+              FROM p JOIN edges e ON p.dst = e.src
+              WHERE p.depth < 3
+            ),
+            mins AS (
+              SELECT src, dst, CAST(MIN(depth) AS INT) AS min_depth
+              FROM p GROUP BY src, dst
+            )
+            SELECT regexp_split_to_array(src, ':')[1] AS src_kind, dst, min_depth,
+                   COUNT(*)::BIGINT AS n_srcs
+            FROM mins GROUP BY 1, 2, 3""",
+        "merge_props_upsert": """
+            WITH r AS (
+              SELECT c_custkey % 50 AS gid, c_mktsegment AS segs, c_acctbal AS bal,
+                     CASE WHEN c_custkey < 750 THEN 1 ELSE 2 END AS seq
+              FROM customer),
+            m AS (SELECT gid, MAX(seq) AS mx FROM r GROUP BY gid)
+            SELECT r.gid,
+              array_to_string(list_sort(list_distinct(flatten(list(str_split(r.segs, ','))))), ',') AS segs,
+              MAX(r.bal) FILTER (WHERE r.seq = m.mx) AS bal
+            FROM r JOIN m USING (gid) GROUP BY r.gid""",
+    }
+
+
+_R2_QUERIES = {
+    "doc_parse_fields": q_doc_parse_fields,
+    "doc_parse_triples": q_doc_parse_triples,
+    "prefix_match_join": q_prefix_match_join,
+    "path_upto3": q_path_upto3,
+    "merge_props_upsert": q_merge_props_upsert,
+}
+
+
+# ---------------------------------------------------------------------------
 # consolidated registries (single source of truth for the driver)
 # ---------------------------------------------------------------------------
 
@@ -1426,10 +1679,12 @@ def _late_oracles() -> dict[str, str]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _base_queries()
     q.update(_LATE_QUERIES)
+    q.update(_R2_QUERIES)
     return q
 
 
 def oracle_sql() -> dict[str, str]:
     o = _base_oracles()
     o.update(_late_oracles())
+    o.update(_r2_oracles())
     return o

@@ -84,18 +84,111 @@ def find_mentions(text: str, index: dict[str, list[tuple[tuple[str, ...], str]]]
     return out
 
 
-def extract_mentions(transcripts: DataFrame, surfaces: list[str]) -> DataFrame:
+class TokenAhoCorasick:
+    """Token-level Aho–Corasick automaton with the SAME observable
+    semantics as the greedy first-token matcher (leftmost position,
+    longest match there, non-overlapping): one pass over the tokens
+    collects, for every start offset, the longest pattern starting
+    there; the greedy sweep then replays ``find_mentions``'s rule.
+
+    Why it exists: the first-token index degrades when one head token
+    fans out to thousands of patterns (10⁶-surface lexicons); the
+    automaton's per-token work is O(1) amortized regardless of fan-out.
+    Build cost is paid once per executor from the broadcast surface
+    list, exactly like ``build_matcher``.
+    """
+
+    def __init__(self, surfaces: list[str]):
+        self.goto: list[dict[str, int]] = [{}]
+        self.fail: list[int] = [0]
+        self.lengths: list[tuple[int, ...]] = [()]  # pattern lengths ending here
+        for s in surfaces:
+            toks = tuple(s.lower().split())
+            if not toks:
+                continue
+            node = 0
+            for t in toks:
+                nxt = self.goto[node].get(t)
+                if nxt is None:
+                    self.goto.append({})
+                    self.fail.append(0)
+                    self.lengths.append(())
+                    nxt = len(self.goto) - 1
+                    self.goto[node][t] = nxt
+                node = nxt
+            if len(toks) not in self.lengths[node]:
+                self.lengths[node] = self.lengths[node] + (len(toks),)
+        # BFS fail links; propagate outputs from the fail target
+        from collections import deque
+
+        q = deque(self.goto[0].values())
+        while q:
+            node = q.popleft()
+            for t, child in self.goto[node].items():
+                q.append(child)
+                f = self.fail[node]
+                while f and t not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[child] = self.goto[f].get(t, 0) if child != self.goto[f].get(t, 0) else 0
+                self.lengths[child] = self.lengths[child] + self.lengths[self.fail[child]]
+
+    def find(self, text: str):
+        """Same output contract as ``find_mentions``."""
+        toks = text.lower().split()
+        best: dict[int, int] = {}  # start -> longest length
+        node = 0
+        for j, t in enumerate(toks):
+            while node and t not in self.goto[node]:
+                node = self.fail[node]
+            node = self.goto[node].get(t, 0)
+            for L in self.lengths[node]:
+                s = j - L + 1
+                if L > best.get(s, 0):
+                    best[s] = L
+        out = []
+        i, n = 0, len(toks)
+        while i < n:
+            L = best.get(i, 0)
+            if L:
+                out.append((" ".join(toks[i : i + L]), i, i + L))
+                i += L
+            else:
+                i += 1
+        return out
+
+
+# surfaces above this count switch extract_mentions to the automaton
+_AC_THRESHOLD = 5000
+
+
+def extract_mentions(
+    transcripts: DataFrame, surfaces: list[str], matcher: str = "auto"
+) -> DataFrame:
     """transcripts → one row per detected mention (exploded).
 
     Output: (conv_id, turn_idx, role, surface, start, end). Linking to
     term_ids happens downstream as a broadcast join (operators.link) so
     the Python stage stays a pure text op.
+
+    ``matcher``: "greedy" (first-token index — fastest for small
+    lexicons), "aho" (token Aho–Corasick — wide lexicons), or "auto"
+    (aho above 5k surfaces). Both produce identical mentions.
     """
     spark = transcripts.sparkSession
     bc = spark.sparkContext.broadcast(sorted(set(surfaces)))
+    if matcher == "auto":
+        matcher = "aho" if len(set(surfaces)) > _AC_THRESHOLD else "greedy"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        index = build_matcher(bc.value)
+        if matcher == "aho":
+            ac = TokenAhoCorasick(bc.value)
+            find = ac.find
+        else:
+            index = build_matcher(bc.value)
+
+            def find(text):
+                return find_mentions(text, index)
+
         for pdf in batches:
             rows: dict[str, list] = {
                 "conv_id": [],
@@ -110,7 +203,7 @@ def extract_mentions(transcripts: DataFrame, surfaces: list[str]) -> DataFrame:
             ):
                 if not isinstance(text, str) or not text:
                     continue
-                for surface, s, e in find_mentions(text, index):
+                for surface, s, e in find(text):
                     rows["conv_id"].append(conv)
                     rows["turn_idx"].append(int(tidx))
                     rows["role"].append(role)

@@ -238,3 +238,39 @@ def test_numpy_topk_string_ids(spark):
     }
     want = {tuple(r) for r in vector.brute_force_topk(emb, q, k=4).collect()}
     assert got == want
+
+
+def test_aho_corasick_equivalence_randomized():
+    """TokenAhoCorasick must reproduce the greedy first-token matcher
+    exactly (leftmost-longest, non-overlapping) across adversarial
+    prefix/suffix/overlap pattern sets."""
+    import random
+
+    from kgflow.operators.extract import TokenAhoCorasick
+
+    rng = random.Random(99)
+    alphabet = ["a", "b", "c", "ab", "bc"]
+    for trial in range(60):
+        n_pat = rng.randint(1, 12)
+        pats = {
+            " ".join(rng.choices(alphabet, k=rng.randint(1, 4))) for _ in range(n_pat)
+        }
+        surfaces = sorted(pats)
+        idx = build_matcher(surfaces)
+        ac = TokenAhoCorasick(surfaces)
+        for _ in range(20):
+            text = " ".join(rng.choices(alphabet, k=rng.randint(0, 25)))
+            assert ac.find(text) == find_mentions(text, idx), (surfaces, text)
+
+
+def test_aho_corasick_extract_mentions_parity(spark):
+    from kgflow.operators import extract as ex
+
+    tr = spark.createDataFrame(
+        [("c1", 0, "user", "x alpha kinase beta then alpha kinase", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    surf = ["alpha kinase", "alpha kinase beta", "beta"]
+    greedy = sorted(map(tuple, ex.extract_mentions(tr, surf, matcher="greedy").collect()))
+    aho = sorted(map(tuple, ex.extract_mentions(tr, surf, matcher="aho").collect()))
+    assert greedy == aho and len(greedy) == 2

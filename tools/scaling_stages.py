@@ -1,0 +1,109 @@
+"""Per-stage scaling attribution: times each KG-pipeline stage in
+isolation at two core counts, so a sub-0.8 end-to-end efficiency can be
+attributed to the stage that loses parallelism (VERDICT r1 item 8).
+
+Stages are isolated with localCheckpoint so a stage's timing never
+re-executes its upstream. Fresh JVM per core level (subprocess), one
+untimed warm pass per stage.
+
+Usage: python3 tools/scaling_stages.py [turns_path] [lo,hi]
+Prints one JSON line with per-stage seconds at both levels + ratios.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from kgflow.session import get_spark
+from kgflow import synth
+from kgflow.plans import pipeline as P
+from kgflow.operators import extract, link, canon
+
+cores = int(sys.argv[1]); path = sys.argv[2]
+spark = get_spark("stages-%%d" %% cores, master="local[%%d]" %% cores,
+                  shuffle_partitions=max(cores, 8))
+terms, isa = synth.lexicon_dataframes(spark, 300, seed=7)
+lex = P.prepare_lexicon(terms)
+tr = spark.read.parquet(path)
+tr.count()
+
+def timed(fn):
+    fn()            # warm (python workers, codegen)
+    t0 = time.time(); fn(); return round(time.time() - t0, 3)
+
+out = {"cores": cores}
+
+# stage 1: mention extraction (the Python/Arrow stage)
+mentions = extract.extract_mentions(tr, lex.surfaces)
+out["extract"] = timed(lambda: mentions.count())
+m_ck = mentions.localCheckpoint(eager=True)
+
+# stage 2: linking + canonical rewrite (broadcast joins)
+linked = canon.apply_canonical(link.link_mentions(m_ck, lex.dim), lex.mapping, ["term_id"])
+out["link_canon"] = timed(lambda: linked.count())
+l_ck = linked.localCheckpoint(eager=True)
+
+# stage 3: co-occurrence (collect_set shuffle + in-row pairs)
+per_turn = l_ck.groupBy("conv_id", "turn_idx").agg(
+    F.sort_array(F.collect_set("term_id")).alias("ts"))
+pairs = F.flatten(F.transform(F.col("ts"), lambda x, i: F.transform(
+    F.slice(F.col("ts"), i + 2, F.size(F.col("ts"))),
+    lambda y: F.struct(x.alias("a"), y.alias("b")))))
+co = per_turn.select("conv_id", F.explode(pairs).alias("p"))
+out["cooccur"] = timed(lambda: co.count())
+
+# stage 4: NEXT_TURN window over the transcript layout
+w = Window.partitionBy("conv_id").orderBy("turn_idx")
+nxt = tr.select("conv_id", "turn_idx").withColumn(
+    "next_idx", F.lead("turn_idx").over(w)).filter(F.col("next_idx").isNotNull())
+out["next_turn_window"] = timed(lambda: nxt.count())
+
+# stage 5: full DAG incl. final global dedup shuffle (end-to-end)
+out["full_dag"] = timed(lambda: P.build_triples(tr, terms, isa, lex=lex).count())
+
+print(json.dumps(out))
+spark.stop()
+"""
+
+
+def run_level(cores: int, path: str) -> dict:
+    env = dict(os.environ)
+    env["PYSPARK_PYTHON"] = "/root/.pyenv/shims/python3"
+    out = subprocess.run(
+        ["/root/.pyenv/shims/python3", "-c", _CHILD % {"repo": REPO}, str(cores), path],
+        capture_output=True, text=True, env=env, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/kgflow_bench/transcripts_8000000_t300"
+    lo, hi = (int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "4,16").split(","))
+    r_lo = run_level(lo, path)
+    r_hi = run_level(hi, path)
+    ratio = hi / lo
+    stages = [k for k in r_lo if k != "cores"]
+    result = {
+        "metric": f"stage_scaling_{lo}_to_{hi}",
+        "lo": r_lo,
+        "hi": r_hi,
+        "efficiency": {
+            k: round((r_lo[k] / r_hi[k]) / ratio, 3) if r_hi[k] else None
+            for k in stages
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
