@@ -1335,11 +1335,12 @@ def q_substring_search(spark, sf):
 
 def q_hash_embed_docs(spark, sf):
     """E1/E2: Arrow-batched text→vector encode (deterministic hash
-    embedding stand-in for BERT; zero vector for empty text). Python
-    UDF output — no SQL oracle, driver records rows-only."""
+    embedding stand-in for BERT; zero vector for empty text). The
+    vector is a pandas-UDF output; the oracle checks its invariants
+    (unit L2 norm for non-empty text, fixed dim) per doc."""
     from kgflow.operators import extract
 
-    d = _t(spark, sf, "documents").limit(200)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
     emb = extract.hash_embedding(d, dim=32)
     return emb.select(
         "doc_id",
@@ -1473,6 +1474,31 @@ def q_path_upto3(spark, sf):
             F.split("src", ":")[0].alias("src_kind"), "dst", "min_depth"
         ).agg(F.count(F.lit(1)).alias("n_srcs"))
     )
+
+
+def q_rdf_ntriples(spark, sf):
+    """S6: RDF N-Triples parse — the Spark-native form of the
+    reference's n10s.rdf.import (distributed line scan + regex extract,
+    IRI vs literal objects). Lines synthesized from nation, parsed back;
+    the oracle is the construction inverse."""
+    from kgflow.sources import readers
+
+    n = _t(spark, sf, "nation")
+    nk = F.col("n_nationkey").cast("string")
+    iri_lines = n.select(
+        F.concat(
+            F.lit("<urn:nation:"), nk,
+            F.lit("> <urn:rel:partOf> <urn:region:"),
+            F.col("n_regionkey").cast("string"), F.lit("> .")
+        ).alias("value")
+    )
+    lit_lines = n.select(
+        F.concat(
+            F.lit("<urn:nation:"), nk,
+            F.lit('> <urn:prop:name> "'), F.col("n_name"), F.lit('"@en .')
+        ).alias("value")
+    )
+    return readers.parse_ntriples(iri_lines.unionByName(lit_lines))
 
 
 def q_merge_props_upsert(spark, sf):
@@ -1611,6 +1637,23 @@ def _r2_oracles() -> dict[str, str]:
               array_to_string(list_sort(list_distinct(flatten(list(str_split(r.segs, ','))))), ',') AS segs,
               MAX(r.bal) FILTER (WHERE r.seq = m.mx) AS bal
             FROM r JOIN m USING (gid) GROUP BY r.gid""",
+        "rdf_ntriples_parse": """
+            SELECT 'urn:nation:' || n_nationkey AS subj,
+                   'urn:rel:partOf' AS pred,
+                   'urn:region:' || n_regionkey AS obj,
+                   FALSE AS is_literal
+            FROM nation
+            UNION ALL
+            SELECT 'urn:nation:' || n_nationkey, 'urn:prop:name', n_name, TRUE
+            FROM nation""",
+        # hash embedding: the vector itself is a pandas-UDF output, but
+        # its published invariants (unit norm for non-empty text, zero
+        # for empty, fixed dim) are oracle-checkable
+        "hash_embed_docs": r"""
+            SELECT doc_id,
+              CAST(CASE WHEN trim(text) <> '' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS l2_norm,
+              CAST(32 AS INT) AS dim
+            FROM documents WHERE doc_id < 200""",
     }
 
 
@@ -1620,6 +1663,7 @@ _R2_QUERIES = {
     "prefix_match_join": q_prefix_match_join,
     "path_upto3": q_path_upto3,
     "merge_props_upsert": q_merge_props_upsert,
+    "rdf_ntriples_parse": q_rdf_ntriples,
 }
 
 
@@ -1671,8 +1715,9 @@ def _late_oracles() -> dict[str, str]:
         SELECT shingle, COUNT(DISTINCT doc_id)::BIGINT AS n_docs
         FROM sh GROUP BY shingle
         ORDER BY n_docs DESC, shingle LIMIT 15""",
-        # hash_embed_docs / ann_ivf_topk: pandas-UDF or approximate
-        # outputs — intentionally no oracle (driver rows-only check)
+        # ann_ivf_topk: approximate by construction (k-means clusters)
+        # — intentionally no oracle (driver rows-only check + recall
+        # pytest); hash_embed_docs gained an invariant oracle in round 2
     }
 
 

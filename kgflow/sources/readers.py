@@ -164,6 +164,42 @@ def write_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+_NT_PATTERN = r'^\s*<([^>]+)>\s+<([^>]+)>\s+(.+?)\s*\.\s*$'
+
+
+def parse_ntriples(lines: DataFrame, col: str = "value") -> DataFrame:
+    """S6: RDF N-Triples scan → (subj, pred, obj, is_literal) rows.
+
+    The reference imports RDF through neosemantics (``n10s.rdf.import``)
+    inside Neo4j; Spark-native, an N-Triples file is just a line format:
+    ``spark.read.text`` + regex extraction — embarrassingly parallel,
+    no driver parsing, comments/blank lines dropped. Literal objects
+    keep their lexical form with datatype (``"x"^^<t>``) / language
+    (``"x"@en``) suffixes stripped; IRI objects lose their angle
+    brackets; ``is_literal`` preserves the distinction n10s maps to
+    property-vs-relationship.
+    """
+    parsed = lines.select(
+        F.regexp_extract(F.col(col), _NT_PATTERN, 1).alias("subj"),
+        F.regexp_extract(F.col(col), _NT_PATTERN, 2).alias("pred"),
+        F.regexp_extract(F.col(col), _NT_PATTERN, 3).alias("_o"),
+    ).filter(F.col("subj") != "")
+    is_lit = F.col("_o").startswith('"')
+    literal = F.regexp_extract(F.col("_o"), r'^"((?:[^"\\]|\\.)*)"', 1)
+    iri = F.regexp_extract(F.col("_o"), r"^<([^>]+)>$", 1)
+    return parsed.select(
+        "subj",
+        "pred",
+        F.when(is_lit, literal).otherwise(iri).alias("obj"),
+        is_lit.alias("is_literal"),
+    ).filter(F.col("obj") != "")
+
+
+def load_ntriples(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed N-Triples file scan (text lines → parsed triples)."""
+    return parse_ntriples(spark.read.text(path), "value")
+
+
 _BIB_FIELDS = [
     "pmid",
     "title",

@@ -133,3 +133,27 @@ def test_hash_embedding_provenance(spark):
     # without model: no provenance columns (back-compat)
     cols = extract.hash_embedding(df, dim=8).columns
     assert "embedding_model" not in cols
+
+
+def test_ntriples_parse_edge_cases(spark):
+    lines = spark.createDataFrame(
+        [
+            ("<urn:a> <urn:p> <urn:b> .",),
+            ('<urn:a> <urn:name> "Alpha Beta" .',),
+            ('<urn:a> <urn:desc> "x y"@en .',),
+            ('<urn:a> <urn:count> "42"^^<http://www.w3.org/2001/XMLSchema#int> .',),
+            ("# a comment line",),
+            ("",),
+            ("garbage that is not a triple",),
+            ('<urn:c> <urn:says> "quote \\" inside" .',),
+        ],
+        "value string",
+    )
+    got = {tuple(r) for r in readers.parse_ntriples(lines).collect()}
+    assert got == {
+        ("urn:a", "urn:p", "urn:b", False),
+        ("urn:a", "urn:name", "Alpha Beta", True),
+        ("urn:a", "urn:desc", "x y", True),
+        ("urn:a", "urn:count", "42", True),
+        ("urn:c", "urn:says", 'quote \\" inside', True),
+    }
