@@ -1,0 +1,84 @@
+"""Physical-plan regression guards: the properties PERF.md claims are
+asserted here so a refactor cannot silently lose them.
+
+Uses the sf0.001 testdata (tiny, read-only)."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    import __spark_entry__ as e
+
+    return e
+
+
+def test_pricing_summary_pushdown(spark, entrymod):
+    """Filter and column pruning must reach the parquet scan."""
+    df = entrymod.queries()["pricing_summary"](spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # projection pruning: the scan must not read all 16 lineitem columns
+    # (the plan string truncates ReadSchema, so check the leading fields)
+    read = plan.split("ReadSchema")[1][:400]
+    assert read.startswith(": struct<l_quantity")
+    assert "l_comment" not in read and "l_orderkey" not in read
+
+
+def test_region_revenue_broadcasts_dims(spark, entrymod):
+    plan = _plan(entrymod.queries()["region_revenue"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_prefix_match_join_is_hash_join(spark, entrymod):
+    """J3 must be a broadcast hash join on the derived key, not a
+    nested-loop theta join."""
+    plan = _plan(entrymod.queries()["prefix_match_join"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_neardup_no_cartesian(spark, entrymod):
+    plan = _plan(entrymod.queries()["embedding_neardup"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_no_shuffle(spark, entrymod):
+    """The in-row SimHash must stay a narrow map: no Exchange at all."""
+    plan = _plan(entrymod.queries()["simhash"](spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_range_join_no_bare_user_self_join(spark, entrymod):
+    """The banded range join must join on (user_id, bkt), visible as a
+    hash/sort-merge join whose key set includes the bucket column."""
+    plan = _plan(entrymod.queries()["range_join_pairs"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bkt" in plan
+
+
+def test_topk_uses_window_group_limit(spark, entrymod):
+    plan = _plan(entrymod.queries()["topk_per_group"](spark, SF))
+    assert "WindowGroupLimit" in plan
+
+
+def test_doc_parse_prunes_json_fields(spark, entrymod):
+    """doc_parse_fields extracts 3 of 5 record fields; Catalyst's
+    OptimizeJsonExprs + pruning keeps authors/mesh out of the parse."""
+    plan = _plan(entrymod.queries()["doc_parse_fields"](spark, SF))
+    assert "from_json" in plan
+    # each from_json call is pruned to the single field it feeds —
+    # the authors/mesh arrays are never parsed ("authors" still appears
+    # in the plan inside the synth side's to_json, which is expected)
+    assert "from_json(StructField(authors" not in plan
+    assert "from_json(StructField(mesh" not in plan
+    assert "from_json(StructField(pmid" in plan
