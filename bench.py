@@ -41,6 +41,16 @@ HEADLINE = [
     "quality_score",
 ]
 
+# round-2 additions, reported under "extras" (not in headline_total so
+# the headline stays round-over-round comparable)
+EXTRAS = [
+    "embedding_neardup",
+    "doc_parse_triples",
+    "multimodal_decode",
+    "path_upto3",
+    "rdf_ntriples_parse",
+]
+
 _CACHE_ROOT = os.environ.get("KGFLOW_BENCH_CACHE", "/tmp/kgflow_bench")
 
 
@@ -111,12 +121,22 @@ def main() -> None:
     kg_sec, kg_stats = run_kg_pipeline(spark, sf)
     times["kg_pipeline"] = round(kg_sec, 3)
 
+    # round-2 operators, timed separately so headline_total stays
+    # comparable across rounds
+    extras: dict[str, float] = {}
+    for name in EXTRAS:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        extras[name] = round(time.time() - t0, 3)
+
     total = round(sum(times.values()), 3)
     out = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "extras": extras,
         "sf": sf,
         "kg": kg_stats,
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "all"),
