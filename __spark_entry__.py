@@ -1476,6 +1476,45 @@ def q_path_upto3(spark, sf):
     )
 
 
+_PROBES = ["spark sql", "vector index", "merge upsert", "quick brown fox"]
+
+
+def q_contamination_probe(spark, sf):
+    """Training-data hygiene: benchmark-contamination probing — for each
+    probe n-gram, how many documents contain it verbatim (normalized
+    whitespace/case). Pure integer counts → exact cross-engine oracle.
+    At 100 TB: one scan, probes broadcast as literals; for large probe
+    sets swap in the Aho–Corasick matcher behind the same contract."""
+    d = _t(spark, sf, "documents")
+    norm = tx.normalized_text("text")
+    rows = [
+        d.select(F.lit(p).alias("probe"), norm.contains(p).cast("int").alias("hit"))
+        for p in _PROBES
+    ]
+    allp = rows[0]
+    for r in rows[1:]:
+        allp = allp.unionByName(r)
+    return allp.groupBy("probe").agg(F.sum("hit").cast("long").alias("n_docs"))
+
+
+def q_lexical_diversity(spark, sf):
+    """Quality dimension: type-token ratio per source (distinct tokens /
+    total tokens), scaled-integer exact so the aggregate is independent
+    of partition order."""
+    d = _t(spark, sf, "documents")
+    toks = tx.tokens("text")
+    per_doc = d.select(
+        "source",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    ).filter(F.col("n_tok") > 0)
+    ttr_q4 = F.round(F.col("n_distinct") * 10000 / F.col("n_tok"), 0).cast("long")
+    return per_doc.select("source", ttr_q4.alias("q4")).groupBy("source").agg(
+        F.round(F.sum("q4") / (F.count(F.lit(1)) * 10000), 4).alias("avg_ttr"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 def q_rdf_ntriples(spark, sf):
     """S6: RDF N-Triples parse — the Spark-native form of the
     reference's n10s.rdf.import (distributed line scan + regex extract,
@@ -1646,6 +1685,23 @@ def _r2_oracles() -> dict[str, str]:
             UNION ALL
             SELECT 'urn:nation:' || n_nationkey, 'urn:prop:name', n_name, TRUE
             FROM nation""",
+        "contamination_probe": f"""
+            WITH p AS (SELECT unnest({_PROBES!r}) AS probe)
+            SELECT p.probe,
+              CAST(SUM(CASE WHEN contains({_NORM}, p.probe) THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+            FROM documents, p GROUP BY p.probe""",
+        "lexical_diversity": f"""
+            WITH t AS (
+              SELECT source, {_TOKS} AS t FROM documents
+              WHERE len({_TOKS}) > 0),
+            q AS (
+              SELECT source,
+                CAST(round(len(list_distinct(t)) * 10000.0 / len(t), 0) AS BIGINT) AS q4
+              FROM t)
+            SELECT source,
+              round(CAST(SUM(q4) AS DOUBLE) / (COUNT(*) * 10000), 4) AS avg_ttr,
+              COUNT(*)::BIGINT AS n_docs
+            FROM q GROUP BY source""",
         # hash embedding: the vector itself is a pandas-UDF output, but
         # its published invariants (unit norm for non-empty text, zero
         # for empty, fixed dim) are oracle-checkable
@@ -1664,6 +1720,8 @@ _R2_QUERIES = {
     "path_upto3": q_path_upto3,
     "merge_props_upsert": q_merge_props_upsert,
     "rdf_ntriples_parse": q_rdf_ntriples,
+    "contamination_probe": q_contamination_probe,
+    "lexical_diversity": q_lexical_diversity,
 }
 
 
