@@ -710,7 +710,7 @@ def _sw_list() -> str:
     return "[" + ", ".join(f"'{w}'" for w in tx.STOPWORDS) + "]"
 
 
-def _minhash_cte(num_hashes: int = 8, band_size: int = 2) -> str:
+def _minhash_cte(num_hashes: int = 8, band_size: int = 2, max_bucket: int = 500) -> str:
     sig_cols = ",\n    ".join(
         f"list_min(list_transform(shingles, s -> md5('{i}' || '|' || s))) AS sig_{i}"
         for i in range(num_hashes)
@@ -740,9 +740,15 @@ sigs AS (
 bands AS (
   {band_selects}
 ),
+capped AS (
+  -- hot-bucket cap: buckets holding > {max_bucket} docs are dropped
+  -- before pairing (mirrors minhash_lsh_pairs(max_bucket={max_bucket}))
+  SELECT doc_id, band_id, band_key FROM bands
+  QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_key) <= {max_bucket}
+),
 pairs AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-  FROM bands l JOIN bands r
+  FROM capped l JOIN capped r
     ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
 )
 """
@@ -1123,12 +1129,14 @@ def q_range_join(spark, sf):
     a = e.select(
         "user_id",
         F.col("event_id").alias("id_a"),
+        F.col("ts").alias("ts_raw_a"),
         F.col("_tsl").alias("ts_a"),
         F.floor(F.col("_tsl") / 60).alias("bkt"),
     )
     b = e.select(
         "user_id",
         F.col("event_id").alias("id_b"),
+        F.col("ts").alias("ts_raw_b"),
         F.col("_tsl").alias("ts_b"),
         # b in [a, a+60s] ⇒ b's bucket is a's or the one after ⇒ probe
         # a.bkt ∈ {b.bkt, b.bkt - 1}
@@ -1138,9 +1146,12 @@ def q_range_join(spark, sf):
             )
         ).alias("bkt"),
     )
+    # ordering on the RAW (sub-second) timestamps — truncated longs are
+    # used only for the bucket key and the whole-second diff, matching
+    # the oracle's `b.ts >= a.ts AND datediff('second', a.ts, b.ts) <= 60`
     pairs = a.join(b, ["user_id", "bkt"]).filter(
         (F.col("id_a") < F.col("id_b"))
-        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_raw_b") >= F.col("ts_raw_a"))
         & (F.col("ts_b") - F.col("ts_a") <= 60)
     )
     return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
@@ -1433,7 +1444,8 @@ def q_doc_parse_triples(spark, sf):
 def q_prefix_match_join(spark, sf):
     """J3: STARTS WITH theta join as a derived-key equi join
     (import_cosmic_genes.cql:41-46). Entry names PREFIX_key are matched
-    to the symbol dimension on their first '_' segment."""
+    to the symbol dimension with exact STARTS WITH semantics (candidate
+    prefixes derived per distinct dim key length)."""
     from kgflow.operators import link
 
     p = _t(spark, sf, "part")
@@ -1483,18 +1495,31 @@ def q_contamination_probe(spark, sf):
     """Training-data hygiene: benchmark-contamination probing — for each
     probe n-gram, how many documents contain it verbatim (normalized
     whitespace/case). Pure integer counts → exact cross-engine oracle.
-    At 100 TB: one scan, probes broadcast as literals; for large probe
-    sets swap in the Aho–Corasick matcher behind the same contract."""
+    At 100 TB: ONE scan of the table regardless of probe count — every
+    probe's hit flag is a column of the same projection, the aggregate
+    collapses to a single row of per-probe sums, and that row unpivots
+    driver-side to (probe, n_docs). For large probe sets swap in the
+    Aho–Corasick matcher behind the same contract."""
     d = _t(spark, sf, "documents")
     norm = tx.normalized_text("text")
-    rows = [
-        d.select(F.lit(p).alias("probe"), norm.contains(p).cast("int").alias("hit"))
-        for p in _PROBES
-    ]
-    allp = rows[0]
-    for r in rows[1:]:
-        allp = allp.unionByName(r)
-    return allp.groupBy("probe").agg(F.sum("hit").cast("long").alias("n_docs"))
+    per_doc = d.select(
+        *[norm.contains(p).cast("int").alias(f"_h{i}") for i, p in enumerate(_PROBES)]
+    )
+    agged = per_doc.agg(
+        *[F.sum(f"_h{i}").cast("long").alias(f"_s{i}") for i in range(len(_PROBES))]
+    )
+    return agged.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("probe"), F.col(f"_s{i}").alias("n_docs")
+                    )
+                    for i, p in enumerate(_PROBES)
+                ]
+            )
+        ).alias("r")
+    ).select("r.probe", "r.n_docs")
 
 
 def q_lexical_diversity(spark, sf):
@@ -1640,7 +1665,7 @@ def _r2_oracles() -> dict[str, str]:
               SELECT DISTINCT upper(regexp_split_to_array(p_name, ' ')[1]) AS symbol
               FROM part)
             SELECT s.symbol, COUNT(*)::BIGINT AS n_entries
-            FROM e JOIN s ON starts_with(e.entry_name, s.symbol || '_')
+            FROM e JOIN s ON starts_with(e.entry_name, s.symbol)
             GROUP BY s.symbol""",
         "path_upto3": """
             WITH RECURSIVE edges AS (

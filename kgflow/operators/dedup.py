@@ -78,18 +78,22 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 3,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 500,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing ≥1 LSH band.
 
     Scale shape: explode to (band_id, band_key, id), shuffle on the
     band key (short md5-concat string), self-pair within buckets. Hot
-    buckets (boilerplate text) are the skew risk: ``max_bucket`` drops
-    buckets holding more than that many docs *before* pairing, bounding
-    any bucket's pair output at max_bucket²/2 and killing the straggler
+    buckets (boilerplate text) are the skew risk: ``max_bucket``
+    (default 500 — ON by default; pass None to disable) drops buckets
+    holding more than that many docs *before* pairing, bounding any
+    bucket's pair output at max_bucket²/2 and killing the straggler
     task a boilerplate group would otherwise create. (Such groups are
     exact or near-exact duplicates — the cheap exact-dedup tier, run
-    first, is the right tool for them, not pairwise LSH.)
+    first, is the right tool for them, not pairwise LSH.) The cap is a
+    groupBy-count + broadcast anti-join of the over-limit bucket keys —
+    a tiny aggregate instead of a count-over-window, so no per-bucket
+    sort is added to the plan.
     """
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
     n_bands = num_hashes // band_size
@@ -110,14 +114,23 @@ def minhash_lsh_pairs(
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_key")
     if max_bucket is not None:
-        from pyspark.sql.window import Window
-
-        wb = Window.partitionBy("band_id", "band_key")
-        bands = (
-            bands.withColumn("_bn", F.count(F.lit(1)).over(wb))
-            .filter(F.col("_bn") <= max_bucket)
-            .drop("_bn")
+        # over-limit bucket keys are few (they're the skew!) — aggregate
+        # to (band_id, band_key) counts, keep the heavy ones, and
+        # broadcast-anti-join them away. Unlike count-over-window this
+        # adds no sort, and the map-side partial count collapses hot
+        # buckets before the shuffle. The bands frame feeds the hot-key
+        # aggregate AND the join probe AND the l/r self-pairing — lazy
+        # localCheckpoint materializes the md5 signatures once instead
+        # of recomputing them per consumer (exchange reuse only saves
+        # the shuffle, not the post-shuffle md5 projection).
+        bands = bands.localCheckpoint(eager=False)
+        hot = (
+            bands.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") > max_bucket)
+            .select("band_id", "band_key")
         )
+        bands = bands.join(F.broadcast(hot), ["band_id", "band_key"], "left_anti")
     l = bands.alias("l")
     r = bands.alias("r")
     return (
@@ -208,7 +221,7 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    dim: int = 64,
+    dim: int | None = None,
     n_planes: int = 4,
     seed: int = 13,
 ) -> DataFrame:
@@ -222,14 +235,36 @@ def embedding_near_duplicates(
     by construction: pairs in different buckets are never compared
     (recall rises with fewer planes / multiple tables; see
     ``embedding_near_duplicates_exact`` for the all-pairs verifier).
+
+    ``dim`` defaults to the first row's vector size; a row whose vector
+    size differs from ``dim`` raises at runtime — ``zip_with`` would
+    otherwise null-pad the plane dot products and silently collapse
+    every row into one bucket (degenerating the join back to all-pairs).
     """
     from . import vector
 
+    if dim is None:
+        first = embeddings.select(F.size(F.col(vec_col)).alias("_d")).first()
+        if first is None:
+            dim = 1  # empty input: any planes work, output is empty
+        else:
+            dim = int(first["_d"])
     planes = vector.hyperplanes(dim, n_planes, seed)
     bucketed = embeddings.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        vector.sign_bucket(vec_col, planes).alias("_bkt"),
+        F.when(
+            F.size(F.col(vec_col)) == dim, vector.sign_bucket(vec_col, planes)
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"embedding_near_duplicates: vector size != dim={dim}: "),
+                    F.size(F.col(vec_col)).cast("string"),
+                )
+            )
+        )
+        .alias("_bkt"),
     )
     a = bucketed.select(
         F.col("_id").alias("id_a"), F.col("_v").alias("v_a"), "_bkt"

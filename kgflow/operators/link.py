@@ -58,25 +58,42 @@ def prefix_match_join(
     dims: DataFrame,
     fact_col: str,
     dim_col: str,
-    sep: str = "_",
 ) -> DataFrame:
     """Theta 'STARTS WITH' join re-expressed as a derived-key equi join
     (J3) — the reference's ``WHERE u.Entry_Name STARTS WITH
     g.GENE_SYMBOL`` over UniProt entry names like ``BRCA1_HUMAN``
     (``import_cosmic_genes.cql:41-46``).
 
-    A naive theta join is a nested loop (O(facts × dims)); structured
-    prefixes let Catalyst use a hash join on the derived first segment
-    instead, with the literal STARTS WITH kept as a post-join verify.
-    The dim side is dimension-scale → broadcast.
+    Exact STARTS WITH semantics: ``fact STARTS WITH dim`` ⇔
+    ``substr(fact, 1, len(dim)) = dim``. The dim side is
+    dimension-scale, so its set of DISTINCT key lengths is tiny
+    (bounded by the longest symbol); each fact row derives one
+    candidate prefix per distinct length and Catalyst gets a broadcast
+    hash join on the derived prefix — never a nested loop. The literal
+    ``startswith(dim)`` is kept as a (free) post-join verify. Row
+    amplification = number of distinct dim key lengths, so the fan-out
+    is a dim-side property independent of fact cardinality. Unlike the
+    earlier first-separator-segment key, this matches dims that
+    themselves contain the separator (``ABC_1`` → ``ABC_1_HUMAN``) and
+    boundary-free prefixes (``BRCA1`` → ``BRCA12_HUMAN``), exactly as
+    the reference's STARTS WITH does.
     """
-    import re
-
-    key = F.split(F.col(fact_col), re.escape(sep))[0]
-    derived = facts.withColumn("_pk", key)
+    # one driver-side scan of the dimension table (broadcast-scale by
+    # contract — same size class as the broadcast itself)
+    lengths = sorted(
+        r[0]
+        for r in dims.select(F.length(dim_col)).distinct().collect()
+        if r[0] is not None and r[0] > 0
+    )
+    if not lengths:
+        return facts.join(F.broadcast(dims), F.lit(False))
+    candidates = F.array_distinct(
+        F.array(*[F.col(fact_col).substr(F.lit(1), F.lit(int(l))) for l in lengths])
+    )
+    derived = facts.withColumn("_pk", F.explode(candidates))
     return (
         derived.join(F.broadcast(dims), derived["_pk"] == dims[dim_col])
-        .filter(F.col(fact_col).startswith(F.concat(F.col(dim_col), F.lit(sep))))
+        .filter(F.col(fact_col).startswith(F.col(dim_col)))
         .drop("_pk")
     )
 

@@ -122,12 +122,14 @@ def run_resumable(
 
         # only a bucket's LATEST ledger row reflects what is on disk —
         # an older fingerprint may match re-reverted input while the
-        # partition still holds a different run's output
+        # partition still holds a different run's output. Latest is
+        # taken over ALL statuses (a 'pruned' tombstone must shadow the
+        # 'done' row underneath it), THEN filtered to done.
         latest = dedup_keep_first(
-            ledger.filter(F.col("status") == "done"),
+            ledger,
             ["partition_id"],
             [F.desc("ts"), F.desc("run_id")],
-        )
+        ).filter(F.col("status") == "done")
         done = latest.filter(F.col("lex_fingerprint") == lex_fp).select(
             F.col("partition_id").alias("bucket"), "input_fingerprint", "rows_in"
         )
@@ -149,6 +151,7 @@ def run_resumable(
     triples_dir = os.path.join(out_dir, "triples")
     if os.path.isdir(triples_dir):
         valid = {int(r.bucket) for r in fps.select("bucket").collect()} | {-1}
+        pruned: list[int] = []
         for d in os.listdir(triples_dir):
             if d.startswith("bucket="):
                 try:
@@ -157,6 +160,33 @@ def run_resumable(
                     continue
                 if bv not in valid:
                     shutil.rmtree(os.path.join(triples_dir, d), ignore_errors=True)
+                    pruned.append(bv)
+        if pruned:
+            # tombstone the pruned buckets: without it, the bucket's old
+            # 'done' row stays latest, and a byte-identical reappearance
+            # of its input would be skipped while the partition dir no
+            # longer exists (silently serving zero triples).
+            os.makedirs(_ledger_path(out_dir), exist_ok=True)
+            t_now = time.time()
+            with open(
+                os.path.join(_ledger_path(out_dir), f"{run_id}-prune.json"), "w"
+            ) as fh:
+                for bv in pruned:
+                    fh.write(
+                        json.dumps(
+                            {
+                                "run_id": run_id,
+                                "partition_id": int(bv),
+                                "input_fingerprint": "",
+                                "lex_fingerprint": lex_fp,
+                                "rows_in": 0,
+                                "triples_out": 0,
+                                "status": "pruned",
+                                "ts": t_now,
+                            }
+                        )
+                        + "\n"
+                    )
     if fail_after_buckets is not None:
         pending_list = pending_list[:fail_after_buckets]
     if not pending_list:

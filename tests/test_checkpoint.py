@@ -221,3 +221,37 @@ def test_upsert_merge_props(spark, tmp_path):
         for r in mat.read_table(spark, path).select("id", "names", "score").collect()
     }
     assert got2 == got
+
+
+def test_pruned_bucket_reappearing_identical_is_rerun(spark, transcripts, lexicon, tmp_path):
+    """ADVICE round-2 (medium): a vanished bucket's partition is pruned
+    AND tombstoned; if the same input later reappears byte-identical,
+    the bucket must be re-processed (the stale 'done' row must not make
+    the resume anti-join skip it while its partition no longer exists)."""
+    terms, isa = lexicon
+    d = str(tmp_path / "reappear")
+    cp.run_resumable(spark, transcripts, terms, isa, d, buckets=8)
+    full = _triple_set(spark, d)
+
+    b = (
+        cp.with_bucket(transcripts, 8)
+        .filter(F.col("conv_id") == "conv-000000")
+        .select("bucket")
+        .first()
+        .bucket
+    )
+    bucket_convs = [
+        r.conv_id
+        for r in cp.with_bucket(transcripts, 8)
+        .filter(F.col("bucket") == b)
+        .select("conv_id")
+        .distinct()
+        .collect()
+    ]
+    shrunk = transcripts.filter(~F.col("conv_id").isin(bucket_convs))
+    cp.run_resumable(spark, shrunk, terms, isa, d, buckets=8)
+
+    # the input reverts: same bucket, byte-identical content
+    rep = cp.run_resumable(spark, transcripts, terms, isa, d, buckets=8)
+    assert rep.processed_buckets == 1  # the tombstoned bucket re-runs
+    assert _triple_set(spark, d) == full

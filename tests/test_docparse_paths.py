@@ -52,19 +52,37 @@ def test_docparse_edge_triples_positions(spark):
 
 
 def test_prefix_match_join(spark):
-    """STARTS WITH via derived-key equi join (import_cosmic_genes.cql)."""
+    """STARTS WITH via derived-key equi join (import_cosmic_genes.cql).
+
+    Exact STARTS WITH semantics (ADVICE round-2): boundary-free
+    prefixes match (BRCA1 → BRCA12_HUMAN), dims containing the
+    separator match (ABC_1 → ABC_1_HUMAN), and a fact equal to the dim
+    matches exactly once."""
     entries = spark.createDataFrame(
-        [("BRCA1_HUMAN",), ("BRCA1_MOUSE",), ("TP53_HUMAN",), ("NOSEP",)],
+        [
+            ("BRCA1_HUMAN",),
+            ("BRCA1_MOUSE",),
+            ("BRCA12_HUMAN",),
+            ("TP53_HUMAN",),
+            ("ABC_1_HUMAN",),
+            ("BRCA1",),
+            ("NOSEP",),
+        ],
         "entry_name string",
     )
-    genes = spark.createDataFrame([("BRCA1",), ("EGFR",)], "symbol string")
-    got = {
-        (r.entry_name, r.symbol)
-        for r in link.prefix_match_join(
-            entries, genes, "entry_name", "symbol"
-        ).collect()
+    genes = spark.createDataFrame(
+        [("BRCA1",), ("EGFR",), ("ABC_1",)], "symbol string"
+    )
+    rows = link.prefix_match_join(entries, genes, "entry_name", "symbol").collect()
+    got = {(r.entry_name, r.symbol) for r in rows}
+    assert got == {
+        ("BRCA1_HUMAN", "BRCA1"),
+        ("BRCA1_MOUSE", "BRCA1"),
+        ("BRCA12_HUMAN", "BRCA1"),
+        ("ABC_1_HUMAN", "ABC_1"),
+        ("BRCA1", "BRCA1"),
     }
-    assert got == {("BRCA1_HUMAN", "BRCA1"), ("BRCA1_MOUSE", "BRCA1")}
+    assert len(rows) == len(got)  # no duplicate pairs from the fan-out
 
 
 def test_bounded_paths_min_depth(spark):

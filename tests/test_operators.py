@@ -220,6 +220,35 @@ def test_minhash_hot_bucket_cap_bounds_boilerplate(spark):
     assert len(pairs) <= 10 * 10 * 4
     assert not any(a < 1000 and b < 1000 for a, b in pairs)
 
+    # the cap is ON by default (500): the 1000-doc boilerplate bucket is
+    # dropped without passing max_bucket explicitly
+    default_pairs = {
+        (r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(docs).collect()
+    }
+    assert (2001, 2002) in default_pairs
+    assert not any(a < 1000 and b < 1000 for a, b in default_pairs)
+
+
+def test_embedding_neardup_dim_mismatch_fails_loudly(spark):
+    """ADVICE round-2: a vector whose size differs from the derived dim
+    must raise, not silently collapse every row into one LSH bucket."""
+    import pytest
+
+    ok = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # dim derived from the data: works without an explicit dim
+    got = dedup.embedding_near_duplicates(ok, threshold=0.9).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
+
+    bad = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="vector size != dim"):
+        dedup.embedding_near_duplicates(bad, threshold=0.9).collect()
+
 
 def test_numpy_topk_string_ids(spark):
     """brute_force_topk_np must keep contract equivalence with the JVM
