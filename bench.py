@@ -1,6 +1,11 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
 local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 
+Timing is best-of-N (default 3, $KGFLOW_BENCH_TRIALS) with passes
+interleaved round-robin; per-query min and spread are both reported —
+the VM's hypervisor steal is ±2×, so single-shot numbers can't
+distinguish a regression from noise.
+
 Includes the north-star workload (`kg_pipeline`): synthetic transcripts
 (scaled to the sf of the testdata dir, conv_id-hash bucketed parquet,
 generated once and cached under /tmp) → mention extraction → linking →
@@ -81,16 +86,23 @@ def transcripts_path(spark, sf: float, n_terms: int = 300) -> tuple[str, int]:
     return path, n_turns
 
 
-def run_kg_pipeline(spark, sf: float) -> tuple[float, dict]:
+def run_kg_pipeline(spark, sf: float, trials: int = 3) -> tuple[float, float, dict]:
+    """Best-of-N pipeline wall (min, spread, stats) — single-shot timing
+    cannot distinguish a code regression from this VM's documented ±2×
+    hypervisor steal."""
     path, n_turns = transcripts_path(spark, sf)
     terms, isa = synth.lexicon_dataframes(spark, 300, seed=7)
     lex = pipeline.prepare_lexicon(terms)  # once per lexicon version
     tr = spark.read.parquet(path)
-    t0 = time.time()
-    triples = pipeline.build_triples(tr, terms, isa, lex=lex)
-    n_triples = triples.count()
-    dt = time.time() - t0
-    return dt, {
+    walls = []
+    n_triples = 0
+    for _ in range(trials):
+        t0 = time.time()
+        triples = pipeline.build_triples(tr, terms, isa, lex=lex)
+        n_triples = triples.count()
+        walls.append(time.time() - t0)
+    dt = min(walls)
+    return dt, max(walls) - dt, {
         "turns": n_turns,
         "triples": n_triples,
         "triples_per_sec": round(n_triples / dt, 1),
@@ -110,25 +122,33 @@ def main() -> None:
     spark.range(64).repartition(32).mapInPandas(lambda it: it, "id long").count()
 
     qs = entrymod.queries()
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+    trials = int(os.environ.get("KGFLOW_BENCH_TRIALS", "3"))
 
-    kg_sec, kg_stats = run_kg_pipeline(spark, sf)
+    def timed_passes(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+        """Best-of-N per query, passes interleaved round-robin (pass 1
+        over every query, then pass 2, ...) so a transient steal window
+        hits one pass, not one query's whole budget. Returns (min,
+        spread=max-min) per query."""
+        raw: dict[str, list[float]] = {n: [] for n in names}
+        for _ in range(trials):
+            for name in names:
+                fn = qs[name]
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                raw[name].append(time.time() - t0)
+        best = {n: round(min(v), 3) for n, v in raw.items()}
+        spread = {n: round(max(v) - min(v), 3) for n, v in raw.items()}
+        return best, spread
+
+    times, spreads = timed_passes(HEADLINE)
+
+    kg_sec, kg_spread, kg_stats = run_kg_pipeline(spark, sf, trials=trials)
     times["kg_pipeline"] = round(kg_sec, 3)
+    spreads["kg_pipeline"] = round(kg_spread, 3)
 
     # round-2 operators, timed separately so headline_total stays
     # comparable across rounds
-    extras: dict[str, float] = {}
-    for name in EXTRAS:
-        fn = qs[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        extras[name] = round(time.time() - t0, 3)
+    extras, extras_spread = timed_passes(EXTRAS)
 
     total = round(sum(times.values()), 3)
     out = {
@@ -136,7 +156,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "spread": spreads,
         "extras": extras,
+        "extras_spread": extras_spread,
+        "trials": trials,
         "sf": sf,
         "kg": kg_stats,
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "all"),
