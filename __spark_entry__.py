@@ -754,6 +754,15 @@ pairs AS (
 """
 
 
+def _sqdist_sql(a: str, b: str) -> str:
+    """Squared euclidean distance, index-based so the term order matches
+    Spark's left-to-right zip_with fold."""
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) ^ 2))"
+    )
+
+
 def _cosine_sql(a: str, b: str) -> str:
     return (
         f"round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
@@ -1400,11 +1409,16 @@ def q_boilerplate_shingles(spark, sf):
 
 
 def q_ivf_topk(spark, sf):
-    """IVF coarse-quantizer ANN (k-means clusters, nprobe probing) —
-    approximate by design; rows-only driver check (recall vs brute
-    force asserted in tests/test_operators.py::test_ivf_topk_recall)."""
+    """IVF coarse-quantizer ANN (cluster assignment, nprobe probing,
+    in-cluster exact top-k). The driver query pins the quantizer to the
+    deterministic seed init (Lloyd iters=0 → centroids are the 8
+    lowest-id embeddings verbatim), which makes the ENTIRE search path
+    oracle-checkable in DuckDB — quantizer quality affects recall only,
+    not the algorithm, and the k-means-refined quantizer (iters>0) is
+    the same code path, recall-tested in
+    tests/test_operators.py::test_ivf_topk_recall."""
     emb = _t(spark, sf, "embeddings")
-    cents = vector.kmeans_centroids(emb, k=8, iters=3)
+    cents = vector.kmeans_centroids(emb, k=8, iters=0)
     queries_df = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1798,9 +1812,35 @@ def _late_oracles() -> dict[str, str]:
         SELECT shingle, COUNT(DISTINCT doc_id)::BIGINT AS n_docs
         FROM sh GROUP BY shingle
         ORDER BY n_docs DESC, shingle LIMIT 15""",
-        # ann_ivf_topk: approximate by construction (k-means clusters)
-        # — intentionally no oracle (driver rows-only check + recall
-        # pytest); hash_embed_docs gained an invariant oracle in round 2
+        # ann_ivf_topk: round 3 — the driver query pins the coarse
+        # quantizer to the deterministic seed init (iters=0), so the
+        # full IVF search path (assignment argmin, nprobe probing,
+        # in-cluster exact top-k) reproduces in SQL
+        "ann_ivf_topk": f"""
+        WITH cent AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, embedding AS cv
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+        assigned AS (
+          SELECT vec_id, embedding, cluster FROM (
+            SELECT e.vec_id, e.embedding, ct.c AS cluster,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY {_sqdist_sql('e.embedding', 'ct.cv')}, ct.c) AS rn
+            FROM embeddings e, cent ct) WHERE rn = 1),
+        probes AS (
+          SELECT query_id, qv, cluster FROM (
+            SELECT e.vec_id AS query_id, e.embedding AS qv, ct.c AS cluster,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY {_sqdist_sql('e.embedding', 'ct.cv')}, ct.c) AS rn
+            FROM embeddings e, cent ct WHERE e.vec_id < 4) WHERE rn <= 3),
+        scored AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 {_cosine_sql('p.qv', 'a.embedding')} AS score
+          FROM probes p JOIN assigned a USING (cluster)
+          WHERE a.vec_id <> p.query_id)
+        SELECT query_id, neighbor_id, rank, score FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+        WHERE rank <= 5""",
     }
 
 
