@@ -1455,6 +1455,18 @@ def q_doc_parse_triples(spark, sf):
     return docparse.doc_edge_triples(docparse.parse_records(recs))
 
 
+def q_doc_parse_xml(spark, sf):
+    """S8 in the reference's literal wire format: raw PubMed efetch XML
+    (neo4j_pubmed_batch_embeddings_processor.py:67-98) parsed with Spark
+    4 from_xml under an explicit schema — same (pmid, title, abstract)
+    contract and same oracle as the JSON path, so the two formats are
+    cross-checked against one construction inverse."""
+    from kgflow.operators import docparse
+
+    recs = docparse.synth_xml_records(_t(spark, sf, "documents"))
+    return docparse.parse_xml_records(recs).select("pmid", "title", "abstract")
+
+
 def q_prefix_match_join(spark, sf):
     """J3: STARTS WITH theta join as a derived-key equi join
     (import_cosmic_genes.cql:41-46). Entry names PREFIX_key are matched
@@ -1844,10 +1856,16 @@ def _late_oracles() -> dict[str, str]:
     }
 
 
+_R3_QUERIES = {
+    "doc_parse_xml": q_doc_parse_xml,
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _base_queries()
     q.update(_LATE_QUERIES)
     q.update(_R2_QUERIES)
+    q.update(_R3_QUERIES)
     return q
 
 
@@ -1855,4 +1873,7 @@ def oracle_sql() -> dict[str, str]:
     o = _base_oracles()
     o.update(_late_oracles())
     o.update(_r2_oracles())
+    # the XML parse path lands in the same contract as the JSON one —
+    # one construction-inverse oracle checks both wire formats
+    o["doc_parse_xml"] = o["doc_parse_fields"]
     return o

@@ -133,6 +133,199 @@ def doc_edge_triples(parsed: DataFrame) -> DataFrame:
     return authored.unionByName(has_mesh).dropDuplicates(["subj", "pred", "obj", "pos"])
 
 
+def xml_record_schema() -> T.StructType:
+    """PubMed efetch XML layout (the element subset the reference walks,
+    ``neo4j_pubmed_batch_embeddings_processor.py:67-133``): attributes
+    carry the default ``_`` prefix, element text under an attribute-
+    bearing element lands in ``_VALUE``."""
+    return T.StructType(
+        [
+            T.StructField(
+                "MedlineCitation",
+                T.StructType(
+                    [
+                        T.StructField("PMID", T.StringType()),
+                        T.StructField(
+                            "Article",
+                            T.StructType(
+                                [
+                                    T.StructField("ArticleTitle", T.StringType()),
+                                    T.StructField(
+                                        "Abstract",
+                                        T.StructType(
+                                            [
+                                                T.StructField(
+                                                    "AbstractText",
+                                                    T.ArrayType(
+                                                        T.StructType(
+                                                            [
+                                                                T.StructField(
+                                                                    "_Label",
+                                                                    T.StringType(),
+                                                                ),
+                                                                T.StructField(
+                                                                    "_VALUE",
+                                                                    T.StringType(),
+                                                                ),
+                                                            ]
+                                                        )
+                                                    ),
+                                                ),
+                                            ]
+                                        ),
+                                    ),
+                                    T.StructField(
+                                        "AuthorList",
+                                        T.StructType(
+                                            [
+                                                T.StructField(
+                                                    "Author",
+                                                    T.ArrayType(
+                                                        T.StructType(
+                                                            [
+                                                                T.StructField(
+                                                                    "LastName",
+                                                                    T.StringType(),
+                                                                ),
+                                                                T.StructField(
+                                                                    "ForeName",
+                                                                    T.StringType(),
+                                                                ),
+                                                                T.StructField(
+                                                                    "Initials",
+                                                                    T.StringType(),
+                                                                ),
+                                                            ]
+                                                        )
+                                                    ),
+                                                ),
+                                            ]
+                                        ),
+                                    ),
+                                ]
+                            ),
+                        ),
+                        T.StructField(
+                            "MeshHeadingList",
+                            T.StructType(
+                                [
+                                    T.StructField(
+                                        "MeshHeading",
+                                        T.ArrayType(
+                                            T.StructType(
+                                                [
+                                                    T.StructField(
+                                                        "DescriptorName",
+                                                        T.StringType(),
+                                                    ),
+                                                ]
+                                            )
+                                        ),
+                                    ),
+                                ]
+                            ),
+                        ),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+
+def parse_xml_records(df: DataFrame, xml_col: str = "record") -> DataFrame:
+    """Raw PubMed efetch XML → the same (pmid, title, abstract, authors,
+    mesh) contract as ``parse_records`` — Spark 4 ``from_xml`` with an
+    explicit schema, so the parse stays a JVM-side narrow map exactly
+    like the JSON path (the reference instead walks the XML dict
+    per-article in the driver)."""
+    rec = F.from_xml(F.col(xml_col), xml_record_schema())
+    mc = rec["MedlineCitation"]
+    sections = F.transform(
+        mc["Article"]["Abstract"]["AbstractText"],
+        lambda x: F.struct(
+            F.coalesce(x["_Label"], F.lit("")).alias("label"),
+            # an empty XML element parses to null where the JSON path
+            # carries "" — normalize so both formats emit equal rows
+            F.coalesce(x["_VALUE"], F.lit("")).alias("text"),
+        ),
+    )
+    authors = F.transform(
+        mc["Article"]["AuthorList"]["Author"],
+        lambda a: F.struct(
+            a["LastName"].alias("last_name"),
+            a["ForeName"].alias("first_name"),
+            a["Initials"].alias("initials"),
+        ),
+    )
+    mesh = F.transform(
+        mc["MeshHeadingList"]["MeshHeading"], lambda m: m["DescriptorName"]
+    )
+    return df.select(
+        mc["PMID"].alias("pmid"),
+        F.coalesce(mc["Article"]["ArticleTitle"], F.lit("")).alias("title"),
+        abstract_text(sections).alias("abstract"),
+        authors.alias("authors"),
+        mesh.alias("mesh"),
+    )
+
+
+def _xml_escape(c: Column) -> Column:
+    c = F.regexp_replace(c, "&", "&amp;")
+    c = F.regexp_replace(c, "<", "&lt;")
+    return F.regexp_replace(c, ">", "&gt;")
+
+
+def synth_xml_records(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PubMed-efetch-shaped XML records — the same fields
+    as ``synth_json_records`` rendered in the reference's actual wire
+    format (PubmedArticle > MedlineCitation > Article ...), so the XML
+    and JSON parse paths can be cross-checked against one oracle."""
+    toks = F.split(F.trim("text"), r"\s+")
+    did = F.col(id_col).cast("string")
+    n_auth = (F.col(id_col) % 3 + 1).cast("int")
+    title = _xml_escape(F.array_join(F.slice(toks, 1, 5), " "))
+    sec1 = _xml_escape(F.array_join(F.slice(toks, 6, 8), " "))
+    sec2 = _xml_escape(F.array_join(F.slice(toks, 14, 8), " "))
+    authors_xml = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n_auth),
+            lambda i: F.concat(
+                F.lit("<Author><LastName>Auth"),
+                did,
+                F.lit("_"),
+                i.cast("string"),
+                F.lit("</LastName><ForeName>First</ForeName><Initials>A"),
+                i.cast("string"),
+                F.lit("</Initials></Author>"),
+            ),
+        ),
+        "",
+    )
+    mesh_xml = F.concat(
+        F.lit("<MeshHeading><DescriptorName>"),
+        _xml_escape(F.upper("lang")),
+        F.lit("</DescriptorName></MeshHeading><MeshHeading><DescriptorName>"),
+        _xml_escape(F.upper("source")),
+        F.lit("</DescriptorName></MeshHeading>"),
+    )
+    xml = F.concat(
+        F.lit("<PubmedArticle><MedlineCitation><PMID>"),
+        did,
+        F.lit("</PMID><Article><ArticleTitle>"),
+        title,
+        F.lit('</ArticleTitle><Abstract><AbstractText Label="BACKGROUND">'),
+        sec1,
+        F.lit("</AbstractText><AbstractText>"),
+        sec2,
+        F.lit("</AbstractText></Abstract><AuthorList>"),
+        authors_xml,
+        F.lit("</AuthorList></Article><MeshHeadingList>"),
+        mesh_xml,
+        F.lit("</MeshHeadingList></MedlineCitation></PubmedArticle>"),
+    )
+    return docs.select(F.col(id_col), xml.alias("record"))
+
+
 def synth_json_records(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic PubMed-shaped JSON records synthesized from the
     ``documents`` table — the test/driver stand-in for the reference's

@@ -175,3 +175,26 @@ def test_ntriples_parse_edge_cases(spark):
         ("urn:a", "urn:count", "42", True),
         ("urn:c", "urn:says", 'quote \\" inside', True),
     }
+
+
+def test_xml_parse_matches_json_parse(spark):
+    """S8 XML wire format (from_xml) must land in the identical contract
+    as the JSON path — same rows, including XML-escaped specials and
+    empty-section edge cases — so one oracle checks both formats."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta eps one two three four five s & x <y> n t e tw th fo fi si", "en", "web"),
+            (2, "", "fr", "book"),
+            (7, "short text only", "de", "arxiv"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    via_xml = docparse.parse_xml_records(docparse.synth_xml_records(docs))
+    via_json = docparse.parse_records(docparse.synth_json_records(docs))
+    assert sorted(map(tuple, via_xml.collect())) == sorted(
+        map(tuple, via_json.collect())
+    )
+    # and the downstream edge emitter is format-agnostic
+    ex = {tuple(r) for r in docparse.doc_edge_triples(via_xml).collect()}
+    ej = {tuple(r) for r in docparse.doc_edge_triples(via_json).collect()}
+    assert ex == ej and ex
