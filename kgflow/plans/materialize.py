@@ -6,7 +6,8 @@ destructive reloads (``import_hgnc.cql:6-10`` DETACH DELETE). Here the
 sink is an abstract *upsert into a keyed table*:
 
 * on Iceberg-enabled clusters this is ``MERGE INTO`` (one atomic
-  commit, snapshot isolation);
+  commit, snapshot isolation) — ``upsert(iceberg_table=...)`` detects
+  the runtime (``iceberg_available``) and routes there;
 * the portable fallback (used in this sandbox, plain parquet) is
   union + window-dedup keep-latest, written to a new snapshot directory
   and atomically pointed to — never read-and-overwrite in place.
@@ -45,6 +46,96 @@ def read_table(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.parquet(d)
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the JVM classpath
+    (``org.apache.iceberg.spark.SparkCatalog`` loadable). Detection
+    only — configuring the catalog (spark.sql.catalog.<name>) is the
+    deployment's job."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def merge_into_sql(
+    table: str,
+    src_view: str,
+    columns: list[str],
+    keys: list[str],
+    mode: str = "latest_wins",
+    merge_cols: list[str] | None = None,
+) -> str:
+    """MERGE INTO statement with the same observable semantics as the
+    parquet-snapshot fallback. Pure string builder so the SQL shape is
+    unit-testable without the Iceberg jar.
+
+    * ``latest_wins``: matched rows are overwritten by the batch row
+      (the batch is pre-deduped to one row per key before the MERGE).
+    * ``merge_props``: matched rows comma-merge ``merge_cols`` as
+      sorted-distinct unions of both sides' comma-splits (the
+      order-insensitive ON MATCH aggregate of david_gene_name.cql:40-42)
+      and take the batch value for every other column.
+    """
+    on = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+    value_cols = [c for c in columns if c not in keys]
+    if mode == "merge_props":
+        mc = set(merge_cols or [])
+        sets = []
+        for c in value_cols:
+            if c in mc:
+                sets.append(
+                    f"t.{c} = array_join(array_sort(filter(array_distinct("
+                    f"concat(split(coalesce(t.{c}, ''), ','), "
+                    f"split(coalesce(s.{c}, ''), ','))), x -> x != '')), ',')"
+                )
+            else:
+                sets.append(f"t.{c} = s.{c}")
+        update = "UPDATE SET " + ", ".join(sets) if sets else "UPDATE SET *"
+    else:
+        update = "UPDATE SET *"
+    return (
+        f"MERGE INTO {table} t USING {src_view} s ON {on} "
+        f"WHEN MATCHED THEN {update} "
+        f"WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def _upsert_iceberg(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    mode: str,
+    merge_cols: list[str] | None,
+) -> None:
+    """One atomic MERGE INTO commit (snapshot isolation) — the scale
+    sink; the parquet snapshot dir is the sandbox stand-in."""
+    spark = df.sparkSession
+    # MERGE requires a unique source key set: collapse the batch first
+    # (deterministic content tiebreak, same rule as the fallback)
+    value_cols = [c for c in df.columns if c not in keys]
+    tiebreak = (
+        F.xxhash64(*[F.col(c).cast("string") for c in value_cols])
+        if value_cols
+        else F.lit(0)
+    )
+    w = Window.partitionBy(*keys).orderBy(tiebreak)
+    batch = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    view = f"_kgflow_merge_src_{os.getpid()}"
+    batch.createOrReplaceTempView(view)
+    try:
+        if not spark.catalog.tableExists(table):
+            spark.sql(f"CREATE TABLE {table} USING iceberg AS SELECT * FROM {view}")
+            return
+        spark.sql(merge_into_sql(table, view, batch.columns, keys, mode, merge_cols))
+    finally:
+        spark.catalog.dropTempView(view)
+
+
 def upsert(
     df: DataFrame,
     path: str,
@@ -52,6 +143,7 @@ def upsert(
     order_col: str = "_batch_seq",
     mode: str = "latest_wins",
     merge_cols: list[str] | None = None,
+    iceberg_table: str | None = None,
 ) -> None:
     """MERGE-semantics upsert: one row per key, highest ``order_col`` wins;
     ties broken deterministically by the remaining columns' hash (no
@@ -65,8 +157,17 @@ def upsert(
     deterministic replacement for the reference's arrival-order concat,
     and what makes re-running the same batch a no-op); the remaining
     columns keep latest-batch-wins semantics.
+
+    ``iceberg_table``: when given AND the Iceberg runtime is on the
+    classpath, the upsert is one atomic MERGE INTO against that table
+    (no batch-seq bookkeeping needed — commit order is the order) and
+    ``path`` is untouched; otherwise the portable snapshot-dir fallback
+    below runs, so the same call sites work with or without the jar.
     """
     spark = df.sparkSession
+    if iceberg_table is not None and iceberg_available(spark):
+        _upsert_iceberg(df, iceberg_table, keys, mode, merge_cols)
+        return
     existing = read_table(spark, path)
     # Monotonic batch sequence: next = max(existing) + 1, so two upserts
     # within one wall-clock millisecond (or across a clock regression)

@@ -255,3 +255,44 @@ def test_pruned_bucket_reappearing_identical_is_rerun(spark, transcripts, lexico
     rep = cp.run_resumable(spark, transcripts, terms, isa, d, buckets=8)
     assert rep.processed_buckets == 1  # the tombstoned bucket re-runs
     assert _triple_set(spark, d) == full
+
+
+def test_iceberg_switch_falls_back_without_jar(spark, tmp_path):
+    """The catalog switch: with no Iceberg jar on the classpath,
+    upsert(iceberg_table=...) must detect that and take the parquet
+    snapshot path with identical semantics."""
+    assert mat.iceberg_available(spark) is False  # sandbox ships no jar
+    path = str(tmp_path / "icefall")
+    mat.upsert(
+        spark.createDataFrame([("k", "v1")], "id string, val string"),
+        path, ["id"], iceberg_table="iceberg.kg.nodes",
+    )
+    mat.upsert(
+        spark.createDataFrame([("k", "v2"), ("j", "x")], "id string, val string"),
+        path, ["id"], iceberg_table="iceberg.kg.nodes",
+    )
+    got = {(r.id, r.val) for r in mat.read_table(spark, path).select("id", "val").collect()}
+    assert got == {("k", "v2"), ("j", "x")}
+
+
+def test_merge_into_sql_builder(spark):
+    """The MERGE INTO statement builder: correct join/update shape, and
+    the merge_props ON MATCH expression is valid Spark SQL implementing
+    the sorted-distinct comma-merge rule."""
+    sql = mat.merge_into_sql(
+        "cat.kg.genes", "src", ["id", "names", "score"], ["id"],
+        mode="merge_props", merge_cols=["names"],
+    )
+    assert sql.startswith("MERGE INTO cat.kg.genes t USING src s ON t.id <=> s.id")
+    assert "WHEN NOT MATCHED THEN INSERT *" in sql
+    assert "t.score = s.score" in sql
+
+    # extract the generated names-merge expression and evaluate it as a
+    # plain SELECT: same rule as merge_props_resolve (sorted distinct)
+    start = sql.index("t.names = ") + len("t.names = ")
+    end = sql.index(", t.score")
+    expr = sql[start:end].replace("t.names", "'b,a'").replace("s.names", "'c,a'")
+    assert spark.sql(f"SELECT {expr} AS v").first().v == "a,b,c"
+
+    latest = mat.merge_into_sql("cat.kg.t", "src", ["id", "v"], ["id"])
+    assert "WHEN MATCHED THEN UPDATE SET *" in latest
