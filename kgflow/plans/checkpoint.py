@@ -56,6 +56,31 @@ def bucket_fingerprints(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def bucket_quality(transcripts: DataFrame) -> DataFrame:
+    """(bucket, avg_tokens, avg_ttr_q4, empty_turns) — per-bucket
+    data-quality aggregates recorded in the ledger beside the lineage
+    counts, so a resumable run emits quality lineage per partition (the
+    batch form of the lexical-diversity / quality-score queries).
+
+    Scaled-integer TTR (×10⁴) keeps the aggregate exact across partition
+    orders; one map-side-combining aggregate over only the pending
+    buckets — negligible next to extraction.
+    """
+    from ..functions import text as tx
+
+    t = F.coalesce(F.col("text"), F.lit(""))
+    toks = tx.tokens(t)
+    n_tok = F.size(toks)
+    ttr_q4 = F.when(
+        n_tok > 0, F.round(F.size(F.array_distinct(toks)) * 10000 / n_tok, 0)
+    )
+    return transcripts.groupBy("bucket").agg(
+        F.round(F.avg(n_tok), 2).alias("avg_tokens"),
+        F.round(F.avg(ttr_q4), 0).cast("long").alias("avg_ttr_q4"),
+        F.sum(F.when(F.trim(t) == "", 1).otherwise(0)).cast("long").alias("empty_turns"),
+    )
+
+
 def table_fingerprint(df: DataFrame) -> str:
     """Order-insensitive whole-table content hash (hex string) — used to
     version the lexicon/ontology inputs inside the ledger match key, so
@@ -193,6 +218,10 @@ def run_resumable(
         return ResumeReport(run_id, total, total, 0, 0)
 
     todo = tr.filter(F.col("bucket").isin(pending_list))
+    quality = {
+        r["bucket"]: (r["avg_tokens"], r["avg_ttr_q4"], r["empty_turns"])
+        for r in bucket_quality(todo).collect()
+    }
     triples = P.build_triples(todo.drop("bucket"), terms, isa_edges, with_src=True)
 
     # bucket = the source conversation's bucket (same function as the
@@ -244,6 +273,7 @@ def run_resumable(
     now = time.time()
     for b in pending_list:
         fp, rows_in = fp_map.get(b, ("", 0))
+        avg_tok, ttr_q4, n_empty = quality.get(b, (None, None, None))
         rows.append(
             {
                 "run_id": run_id,
@@ -252,6 +282,12 @@ def run_resumable(
                 "lex_fingerprint": lex_fp,
                 "rows_in": int(rows_in),
                 "triples_out": int(stats.get(b, 0)),
+                # data-quality lineage (per-bucket aggregates, see
+                # bucket_quality): resumable runs audit WHAT they
+                # processed, not just how much
+                "avg_tokens": float(avg_tok) if avg_tok is not None else None,
+                "avg_ttr_q4": int(ttr_q4) if ttr_q4 is not None else None,
+                "empty_turns": int(n_empty) if n_empty is not None else None,
                 "status": "done",
                 "ts": now,
             }

@@ -42,19 +42,29 @@ class Lexicon:
     """Prepared lexicon artifacts: built once per lexicon version, reused
     across every batch/stream run (dimension prep is not per-batch work —
     the reference likewise parses ontologies once up front,
-    import_go_obo.py:64-145)."""
+    import_go_obo.py:64-145). ``surface_map``/``canon_map`` are the
+    driver-side dict forms of ``dim``/``mapping`` (dimension-scale),
+    broadcast into the fused extraction stage."""
 
     surfaces: list[str]
     dim: DataFrame  # (surface, term_id, namespace), cached
     mapping: DataFrame  # (id, canonical_id), cached
+    surface_map: dict[str, tuple[str, str]] | None = None
+    canon_map: dict[str, str] | None = None
 
 
 def prepare_lexicon(terms: DataFrame) -> Lexicon:
     dim = link.surface_dim(terms).cache()
-    surfaces = [r.surface for r in dim.select("surface").collect()]
+    dim_rows = dim.collect()
+    surfaces = [r.surface for r in dim_rows]
     mapping = canon.connected_components(link.alt_id_edges(terms)).cache()
-    mapping.count()
-    return Lexicon(surfaces=surfaces, dim=dim, mapping=mapping)
+    return Lexicon(
+        surfaces=surfaces,
+        dim=dim,
+        mapping=mapping,
+        surface_map={r.surface: (r.term_id, r.namespace) for r in dim_rows},
+        canon_map={r.id: r.canonical_id for r in mapping.collect()},
+    )
 
 
 def normalize_predicate(col):
@@ -102,12 +112,22 @@ def build_triples(
         lex = prepare_lexicon(terms)
     mapping = lex.mapping
 
-    mentions = extract.extract_mentions(transcripts, lex.surfaces)
-    linked = link.link_mentions(mentions, lex.dim)
-
-    linked = canon.apply_canonical(linked, mapping, ["term_id"]).localCheckpoint(
-        eager=True
-    )
+    if lex.surface_map is not None:
+        # fused path: linking + canonical rewrite ride the extraction
+        # batch loop (extract.extract_linked_mentions) — no second pass
+        # over the mention table, and the checkpoint below holds only
+        # the 4 columns downstream actually reads
+        linked = extract.extract_linked_mentions(
+            transcripts, lex.surface_map, lex.canon_map
+        ).localCheckpoint(eager=True)
+    else:
+        # operator-composition form (kept for Lexicons built without
+        # driver-side maps): broadcast-join linking + canonical rewrite
+        mentions = extract.extract_mentions(transcripts, lex.surfaces)
+        linked = link.link_mentions(mentions, lex.dim)
+        linked = canon.apply_canonical(linked, mapping, ["term_id"]).localCheckpoint(
+            eager=True
+        )
 
     turn_uri = F.concat(F.lit("turn:"), "conv_id", F.lit(":"), F.col("turn_idx"))
     conv_uri = F.concat(F.lit("conv:"), "conv_id")

@@ -296,3 +296,26 @@ def test_merge_into_sql_builder(spark):
 
     latest = mat.merge_into_sql("cat.kg.t", "src", ["id", "v"], ["id"])
     assert "WHEN MATCHED THEN UPDATE SET *" in latest
+
+
+def test_ledger_quality_lineage(spark, transcripts, lexicon, tmp_path):
+    """Ledger rows carry per-bucket data-quality aggregates (avg token
+    count, scaled-int TTR, empty-turn count) beside the lineage counts."""
+    terms, isa = lexicon
+    d = str(tmp_path / "qual")
+    cp.run_resumable(spark, transcripts, terms, isa, d, buckets=8)
+    led = cp.read_ledger(spark, d).filter(F.col("status") == "done").collect()
+    assert led
+    for r in led:
+        assert r.avg_tokens is not None and r.avg_tokens > 0
+        assert 0 < r.avg_ttr_q4 <= 10000
+        assert r.empty_turns is not None and r.empty_turns >= 0
+    # quality must describe the bucket's input: recompute one bucket
+    b = led[0].partition_id
+    got = (
+        cp.bucket_quality(cp.with_bucket(transcripts, 8).filter(F.col("bucket") == b))
+        .collect()[0]
+    )
+    assert (got.avg_tokens, got.avg_ttr_q4, got.empty_turns) == (
+        led[0].avg_tokens, led[0].avg_ttr_q4, led[0].empty_turns,
+    )

@@ -43,14 +43,13 @@ def timed(fn):
 
 out = {"cores": cores}
 
-# stage 1: mention extraction (the Python/Arrow stage)
-mentions = extract.extract_mentions(tr, lex.surfaces)
-out["extract"] = timed(lambda: mentions.count())
-m_ck = mentions.localCheckpoint(eager=True)
-
-# stage 2: linking + canonical rewrite (broadcast joins)
-linked = canon.apply_canonical(link.link_mentions(m_ck, lex.dim), lex.mapping, ["term_id"])
-out["link_canon"] = timed(lambda: linked.count())
+# stage 1: fused mention extraction + linking + canonical rewrite
+# (round 3: the separate broadcast-join linking stage was the worst
+# scaler — ~24 CPU-s at 4c vs 64+ CPU-s at 16c of pure re-materialize
+# traffic on 29M mentions — so the dimension lookup now rides the
+# extraction batch loop; see extract.extract_linked_mentions)
+linked = extract.extract_linked_mentions(tr, lex.surface_map, lex.canon_map)
+out["extract_link_canon"] = timed(lambda: linked.count())
 l_ck = linked.localCheckpoint(eager=True)
 
 # stage 3: co-occurrence (collect_set shuffle + in-row pairs)
