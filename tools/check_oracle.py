@@ -51,8 +51,15 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    record: dict[str, dict] = {}
 
     spark = get_spark("oracle-check", master="local[16]", shuffle_partitions=16)
     con = duckdb.connect()
@@ -75,9 +82,14 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {str(e)[:200]}")
             failures.append(name)
+            record[name] = {"err": f"spark: {str(e)[:200]}"}
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (no oracle — rows-only)")
+            record[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(srows), "oracle_rows": None, "err": None,
+            }
             continue
         try:
             res = con.execute(oracles[name])
@@ -86,6 +98,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {str(e)[:200]}")
             failures.append(name)
+            record[name] = {"err": f"duckdb: {str(e)[:200]}"}
             continue
         ok_cols = sorted(scols) == sorted(dcols)
         ok_count = len(srows) == len(drows)
@@ -93,6 +106,11 @@ def main() -> int:
         dh = table_hash(dcols, drows)
         ok_hash = sh == dh
         status = "ok   " if (ok_cols and ok_count and ok_hash) else "FAIL "
+        record[name] = {
+            "rows_match": ok_count, "schema_match": ok_cols,
+            "hash_match": ok_hash, "spark_rows": len(srows),
+            "oracle_rows": len(drows), "err": None,
+        }
         print(
             f"{status} {name}: spark={len(srows)} duck={len(drows)} "
             f"cols={'=' if ok_cols else f'{scols} vs {dcols}'} "
@@ -109,6 +127,12 @@ def main() -> int:
                 print("   only-spark:", list(sset - dset)[:3])
                 print("   only-duck :", list(dset - sset)[:3])
     spark.stop()
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(record, fh, indent=1)
+        print(f"wrote {json_out} ({len(record)} queries)")
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nall green")
     return 1 if failures else 0
 
