@@ -90,26 +90,19 @@ def lexicon_surfaces(terms: DataFrame) -> list[str]:
     return [r.s for r in rows]
 
 
-def build_triples(
+def _assemble_triples(
     transcripts: DataFrame,
-    terms: DataFrame,
     isa_edges: DataFrame,
-    with_src: bool = False,
-    lex: Lexicon | None = None,
+    lex: Lexicon,
 ) -> DataFrame:
-    """The full extraction DAG; returns the deduped triple table.
+    """Pre-dedup triple union: (subj, pred, obj, src_conv, family).
 
-    ``with_src=True`` keeps a ``src_conv`` provenance column (null for
-    ontology triples) and dedups per (subj, pred, obj, src_conv) —
-    used by the bucket-resumable writer so every transcript-derived
-    triple lands in its source conversation's bucket; the global
-    triple-set view dedups on read.
-
-    ``lex``: pass a prepared ``Lexicon`` to skip per-run dimension prep
-    (the recommended shape for repeated/incremental runs).
+    ``family`` tags which extraction rule produced the row (mention /
+    conv_ns / cooccur / next_turn / ontology) — the provenance unit the
+    reference tracks per import script (each CQL import file is one
+    family; cql/import/*). ``src_conv`` is the source conversation
+    (null for ontology rows).
     """
-    if lex is None:
-        lex = prepare_lexicon(terms)
     mapping = lex.mapping
 
     if lex.surface_map is not None:
@@ -138,6 +131,7 @@ def build_triples(
         F.lit("MENTIONS").alias("pred"),
         F.col("term_id").alias("obj"),
         src,
+        F.lit("mention").alias("family"),
     )
 
     has_ns_triples = linked.select(
@@ -145,6 +139,7 @@ def build_triples(
         F.concat(F.lit("HAS_"), F.upper("namespace")).alias("pred"),
         F.col("term_id").alias("obj"),
         src,
+        F.lit("conv_ns").alias("family"),
     )
 
     # within-turn co-occurrence. NOT a self-join: collect the turn's
@@ -172,6 +167,7 @@ def build_triples(
             F.lit("CO_OCCURS_WITH").alias("pred"),
             F.col("p.b").alias("obj"),
             F.col("conv_id").alias("src_conv"),
+            F.lit("cooccur").alias("family"),
         )
     )
 
@@ -186,6 +182,7 @@ def build_triples(
             F.lit("NEXT_TURN").alias("pred"),
             F.concat(F.lit("turn:"), "conv_id", F.lit(":"), F.col("next_idx")).alias("obj"),
             F.col("conv_id").alias("src_conv"),
+            F.lit("next_turn").alias("family"),
         )
     )
 
@@ -194,18 +191,83 @@ def build_triples(
         normalize_predicate(F.col("predicate")).alias("pred"),
         F.trim("object_id").alias("obj"),
         F.lit(None).cast("string").alias("src_conv"),
+        F.lit("ontology").alias("family"),
     )
     onto = canon.apply_canonical(onto, mapping, ["subj", "obj"])
 
-    triples = (
+    return (
         mentions_triples.unionByName(has_ns_triples)
         .unionByName(co)
         .unionByName(nxt)
         .unionByName(onto)
     )
+
+
+def build_triples(
+    transcripts: DataFrame,
+    terms: DataFrame,
+    isa_edges: DataFrame,
+    with_src: bool = False,
+    lex: Lexicon | None = None,
+) -> DataFrame:
+    """The full extraction DAG; returns the deduped triple table.
+
+    ``with_src=True`` keeps a ``src_conv`` provenance column (null for
+    ontology triples) and dedups per (subj, pred, obj, src_conv) —
+    used by the bucket-resumable writer so every transcript-derived
+    triple lands in its source conversation's bucket; the global
+    triple-set view dedups on read.
+
+    ``lex``: pass a prepared ``Lexicon`` to skip per-run dimension prep
+    (the recommended shape for repeated/incremental runs).
+    """
+    if lex is None:
+        lex = prepare_lexicon(terms)
+    triples = _assemble_triples(transcripts, isa_edges, lex).drop("family")
     if with_src:
         return triples.dropDuplicates(["subj", "pred", "obj", "src_conv"])
     return triples.drop("src_conv").dropDuplicates(["subj", "pred", "obj"])
+
+
+def build_triples_prov(
+    transcripts: DataFrame,
+    terms: DataFrame,
+    isa_edges: DataFrame,
+    lex: Lexicon | None = None,
+    run_id: str | None = None,
+) -> DataFrame:
+    """Triple table with per-triple provenance props.
+
+    Same (subj, pred, obj) set as ``build_triples`` — the P/R gate is
+    unchanged — plus extraction-count metrics the reference keeps only
+    in import-script logs (neo4j_cancerkg_builder.py counters):
+
+    * ``family``  — which extraction rule produced it (min() of the
+      tag: deterministic under the union order, and families are
+      disjoint by predicate construction anyway)
+    * ``n_obs``   — raw pre-dedup observation count (how often the
+      fact was asserted across the corpus)
+    * ``n_convs`` — distinct source conversations supporting it
+      (0 for ontology rows — count_distinct ignores the null src)
+    * ``first_seen_run`` — the producing run id; under MERGE upserts
+      (materialize.upsert) exclude this column from the update set so
+      the first writer wins, giving first-seen lineage.
+
+    One groupBy on the same key the plain path dedups on — identical
+    shuffle cost, so provenance is free at scale.
+    """
+    if lex is None:
+        lex = prepare_lexicon(terms)
+    return (
+        _assemble_triples(transcripts, isa_edges, lex)
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.min("family").alias("family"),
+            F.count(F.lit(1)).alias("n_obs"),
+            F.count_distinct("src_conv").alias("n_convs"),
+        )
+        .withColumn("first_seen_run", F.lit(run_id).cast("string"))
+    )
 
 
 def build_nodes(triples: DataFrame, terms: DataFrame) -> DataFrame:

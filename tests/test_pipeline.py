@@ -89,3 +89,41 @@ def test_per_turn_text_equality_roundtrip(spark, transcripts, tmp_path):
     orig = transcripts.orderBy("conv_id", "turn_idx").select("conv_id", "turn_idx", "text").collect()
     rt = back.orderBy("conv_id", "turn_idx").select("conv_id", "turn_idx", "text").collect()
     assert orig == rt
+
+
+def test_triples_prov_matches_plain(spark, transcripts, lexicon):
+    """Provenance aggregate: same (subj,pred,obj) set as build_triples,
+    family consistent with predicate, support counts sane, and
+    first_seen_run stamped."""
+    terms, isa = lexicon
+    plain = pipeline.build_triples(transcripts, terms, isa)
+    prov = pipeline.build_triples_prov(transcripts, terms, isa, run_id="r1")
+    assert prov.count() == plain.count()
+    assert (
+        prov.select("subj", "pred", "obj")
+        .exceptAll(plain.select("subj", "pred", "obj"))
+        .count()
+        == 0
+    )
+    rows = prov.collect()
+    fam_by_pred = {
+        "MENTIONS": "mention",
+        "CO_OCCURS_WITH": "cooccur",
+        "NEXT_TURN": "next_turn",
+    }
+    for r in rows:
+        assert r.n_obs >= 1
+        assert r.first_seen_run == "r1"
+        if r.pred in fam_by_pred:
+            assert r.family == fam_by_pred[r.pred]
+        elif r.pred.startswith("HAS_"):
+            assert r.family == "conv_ns"
+        if r.family == "ontology":
+            assert r.n_convs == 0
+        else:
+            assert 1 <= r.n_convs <= r.n_obs
+    # n_obs totals the pre-dedup union
+    raw = pipeline._assemble_triples(
+        transcripts, isa, pipeline.prepare_lexicon(terms)
+    ).count()
+    assert sum(r.n_obs for r in rows) == raw
