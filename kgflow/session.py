@@ -37,8 +37,10 @@ def get_spark(
     """Build (or reuse) a SparkSession with the engine's standard config.
 
     ``master`` defaults to ``local[N]`` with N from ``$SPARK_GRAFT_CPUS``
-    (driver convention) or all cores. On a cluster, pass ``master=None``
-    and let spark-submit own it.
+    (driver convention) or all cores. Under spark-submit pass
+    ``master=""`` — the builder then never calls ``.master()`` and the
+    cluster manager chosen by spark-submit is preserved (this is what
+    ``tools/kg_job.py`` does).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
     if master is None:
@@ -51,7 +53,6 @@ def get_spark(
 
     b = (
         SparkSession.builder.appName(app_name)
-        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -63,6 +64,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("KGFLOW_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if master:
+        b = b.master(master)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
