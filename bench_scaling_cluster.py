@@ -34,7 +34,11 @@ spark = (
     .appName("scaling-cluster-%%d" %% workers)
     .config("spark.executorEnv.PYTHONPATH", %(repo)r)
     .config("spark.driver.memory", "8g")
-    .config("spark.sql.shuffle.partitions", str(max(total_cores, 8)))
+    # 4x total cores, as on a real cluster: enough parallelism that one
+    # hash aggregate never holds >1/16 of the level's data (8 partitions
+    # at 51M triples OOMed the single-executor level: AGGREGATE_OUT_OF_
+    # MEMORY in the cooccur collect_set); AQE coalesces the excess.
+    .config("spark.sql.shuffle.partitions", str(max(total_cores * 4, 32)))
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
@@ -67,8 +71,11 @@ def run_level(workers: int, cores: int, mem_mb: int, path: str, runs: int) -> di
     out = subprocess.run(
         ["/root/.pyenv/shims/python3", "-c", _CHILD % {"repo": REPO},
          str(workers), str(cores), str(mem_mb), path, str(runs)],
-        capture_output=True, text=True, env=env, check=True,
+        capture_output=True, text=True, env=env,
     )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-8000:])
+        raise RuntimeError(f"level workers={workers} failed rc={out.returncode}")
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
