@@ -34,6 +34,10 @@ spark = (
     .appName("scaling-cluster-%%d" %% workers)
     .config("spark.executorEnv.PYTHONPATH", %(repo)r)
     .config("spark.driver.memory", "8g")
+    # local-cluster[W,C,M]'s M is only the WORKER's capacity; executors
+    # still request spark.executor.memory (default 1g!) — size them to
+    # the full worker grant or every level runs on 1 GB heaps.
+    .config("spark.executor.memory", "%%dm" %% mem_mb)
     # 4x total cores, as on a real cluster: enough parallelism that one
     # hash aggregate never holds >1/16 of the level's data (8 partitions
     # at 51M triples OOMed the single-executor level: AGGREGATE_OUT_OF_
@@ -73,10 +77,18 @@ def run_level(workers: int, cores: int, mem_mb: int, path: str, runs: int) -> di
          str(workers), str(cores), str(mem_mb), path, str(runs)],
         capture_output=True, text=True, env=env,
     )
-    if out.returncode != 0:
-        sys.stderr.write(out.stderr[-8000:])
-        raise RuntimeError(f"level workers={workers} failed rc={out.returncode}")
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    # the child prints its result JSON before spark.stop(); a nonzero
+    # exit with a parseable result is the local-cluster shutdown race
+    # (Worker "Shutdown hooks cannot be modified during shutdown"), not
+    # a failed measurement — accept the result and note the exit code.
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if lines:
+        if out.returncode != 0:
+            print(f"note: workers={workers} exited rc={out.returncode} "
+                  "after printing its result (shutdown race)", file=sys.stderr)
+        return json.loads(lines[-1])
+    sys.stderr.write(out.stderr[-8000:])
+    raise RuntimeError(f"level workers={workers} failed rc={out.returncode}")
 
 
 def main() -> None:
