@@ -424,6 +424,70 @@ def q_kg_star_triples(spark, sf):
     )
 
 
+def q_kg_prov_rollup(spark, sf):
+    """Triple provenance (pipeline.build_triples_prov shape) on the star
+    KG: per-(subj,pred,obj) observation counts from the RAW pre-dedup
+    union — the extraction-count lineage the reference keeps only in
+    importer logs — rolled up per (pred, family). Exact integers →
+    exact cross-engine oracle."""
+    orders = _t(spark, sf, "orders")
+    lineitem = _t(spark, sf, "lineitem")
+    customer = _t(spark, sf, "customer")
+    supplier = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+
+    def uri(prefix: str, col) -> F.Column:
+        return F.concat(F.lit(prefix + ":"), F.col(col).cast("string"))
+
+    def fam(df, s, p, o, family):
+        return df.select(
+            s.alias("subj"), F.lit(p).alias("pred"), o.alias("obj"),
+            F.lit(family).alias("family"),
+        )
+
+    raw = (
+        fam(orders, uri("cust", "o_custkey"), "PLACED", uri("order", "o_orderkey"), "orders_fk")
+        .unionByName(fam(lineitem, uri("order", "l_orderkey"), "CONTAINS", uri("part", "l_partkey"), "lineitem_part_fk"))
+        .unionByName(fam(lineitem, uri("order", "l_orderkey"), "SUPPLIED_BY", uri("supplier", "l_suppkey"), "lineitem_supp_fk"))
+        .unionByName(fam(customer, uri("cust", "c_custkey"), "LOCATED_IN", uri("nation", "c_nationkey"), "customer_fk"))
+        .unionByName(fam(supplier, uri("supplier", "s_suppkey"), "LOCATED_IN", uri("nation", "s_nationkey"), "supplier_fk"))
+        .unionByName(fam(nation, uri("nation", "n_nationkey"), "PART_OF", uri("region", "n_regionkey"), "nation_fk"))
+    )
+    per_triple = raw.groupBy("subj", "pred", "obj").agg(
+        F.min("family").alias("family"), F.count(F.lit(1)).alias("n_obs")
+    )
+    return per_triple.groupBy("pred", "family").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.sum("n_obs").alias("n_obs_total"),
+        F.sum(F.when(F.col("n_obs") > 1, 1).otherwise(0)).alias("n_multi"),
+    )
+
+
+_KG_PROV_ROLLUP_SQL = """
+WITH raw AS (
+  SELECT 'cust:' || o_custkey AS subj, 'PLACED' AS pred,
+         'order:' || o_orderkey AS obj, 'orders_fk' AS family FROM orders
+  UNION ALL
+  SELECT 'order:' || l_orderkey, 'CONTAINS', 'part:' || l_partkey, 'lineitem_part_fk' FROM lineitem
+  UNION ALL
+  SELECT 'order:' || l_orderkey, 'SUPPLIED_BY', 'supplier:' || l_suppkey, 'lineitem_supp_fk' FROM lineitem
+  UNION ALL
+  SELECT 'cust:' || c_custkey, 'LOCATED_IN', 'nation:' || c_nationkey, 'customer_fk' FROM customer
+  UNION ALL
+  SELECT 'supplier:' || s_suppkey, 'LOCATED_IN', 'nation:' || s_nationkey, 'supplier_fk' FROM supplier
+  UNION ALL
+  SELECT 'nation:' || n_nationkey, 'PART_OF', 'region:' || n_regionkey, 'nation_fk' FROM nation
+), per_triple AS (
+  SELECT subj, pred, obj, MIN(family) AS family, COUNT(*) AS n_obs
+  FROM raw GROUP BY subj, pred, obj
+)
+SELECT pred, family, COUNT(*)::BIGINT AS n_triples,
+       SUM(n_obs)::BIGINT AS n_obs_total,
+       SUM(CASE WHEN n_obs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_multi
+FROM per_triple GROUP BY pred, family
+"""
+
+
 def q_degree_topk(spark, sf):
     """A3/W1: out-degree analytics over the star KG (top-10 cited shape,
     neo4j_citation_relationship_builder.py:359-370)."""
@@ -1858,6 +1922,7 @@ def _late_oracles() -> dict[str, str]:
 
 _R3_QUERIES = {
     "doc_parse_xml": q_doc_parse_xml,
+    "kg_prov_rollup": q_kg_prov_rollup,
 }
 
 
@@ -1876,4 +1941,5 @@ def oracle_sql() -> dict[str, str]:
     # the XML parse path lands in the same contract as the JSON one —
     # one construction-inverse oracle checks both wire formats
     o["doc_parse_xml"] = o["doc_parse_fields"]
+    o["kg_prov_rollup"] = _KG_PROV_ROLLUP_SQL
     return o
