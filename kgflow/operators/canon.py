@@ -59,6 +59,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     driver_threshold: int = 200_000,
+    verbose: bool = False,
 ) -> DataFrame:
     """(id, canonical_id) for every id reachable through same-as edges.
 
@@ -103,48 +104,107 @@ def connected_components(
         id_type = dict(e.dtypes)["a"]
         return spark.createDataFrame(data, f"id {id_type}, canonical_id {id_type}")
 
-    nodes = e.select(F.col("a").alias("id")).union(e.select("b")).distinct()
-    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
-    # symmetric closure once; afterwards we contract on labels
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint(
-        eager=True
-    )
+    # ------------------------------------------------------------------
+    # Distributed path: min-merge GRAPH CONTRACTION with parquet-spill
+    # checkpoints. Two hard-won lessons are encoded here (PERF.md §15):
+    #
+    # 1. The iteration state is checkpointed to PARQUET, not
+    #    localCheckpoint. localCheckpoint carries the plan's estimated
+    #    `sizeInBytes` forward (LogicalRDD originStats); every round's
+    #    joins MULTIPLY those BigInt estimates, so their digit count
+    #    doubles per round and by round ~10 Catalyst's stats visitor is
+    #    doing Toom-Cook multiplications on 10k-digit integers — the
+    #    driver, not the data, becomes the bottleneck (measured: 3 s
+    #    rounds degrading to 70+ s). A parquet round-trip resets stats
+    #    to the true file size and truncates lineage for free. On a real
+    #    cluster this is the HDFS-checkpoint pattern every iterative
+    #    Spark algorithm needs anyway.
+    # 2. The EDGE SET is contracted onto the label space each round, so
+    #    the graph shrinks geometrically and late rounds run on a few
+    #    thousand rows. Propagating labels over the original edges
+    #    (the round-1/2 implementation) has a long convergence tail —
+    #    plateaus merge a handful of labels per round on high-diameter
+    #    graphs (measured: ~130 merges/round on a 916k-node component).
+    # ------------------------------------------------------------------
+    import shutil
+    import tempfile
 
-    for _ in range(max_iter):
-        # candidate label for each node: min of own and neighbors' labels
-        nbr = (
-            sym.join(labels.withColumnRenamed("id", "a"), "a")
-            .select(F.col("b").alias("id"), "label")
-        )
-        new_labels = (
-            labels.union(nbr)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=True)
-        # pointer doubling: relabel through the current label map so long
-        # chains collapse exponentially (label(label(x))). The map side is
-        # re-projected to fresh column names to keep the self-join
-        # unambiguous.
-        lbl_map = new_labels.select(
-            F.col("id").alias("_l_id"), F.col("label").alias("_l_lbl")
-        )
-        new_labels = (
-            new_labels.withColumnRenamed("label", "_old")
-            .join(lbl_map, F.col("_old") == F.col("_l_id"), "left")
-            .select("id", F.coalesce("_l_lbl", "_old").alias("label"))
-        ).localCheckpoint(eager=True)
+    spill_dir = tempfile.mkdtemp(prefix="kgflow_cc_")
+    spill_seq = [0]
 
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+    def spill(df: DataFrame) -> DataFrame:
+        p = f"{spill_dir}/s{spill_seq[0]}"
+        spill_seq[0] += 1
+        df.write.mode("overwrite").parquet(p)
+        return spark.read.parquet(p)
+
+    try:
+        nodes = e.select(F.col("a").alias("id")).union(e.select("b")).distinct()
+        labels = spill(nodes.select("id", F.col("id").alias("label")))
+        # symmetric closure once; afterwards the edge set lives on the
+        # shrinking label space
+        e2 = spill(
+            e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .dropDuplicates()
         )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select("id", F.col("label").alias("canonical_id"))
+
+        for it in range(max_iter):
+            # each label-node merges into its smallest neighbor
+            dmap = spill(
+                e2.groupBy("a")
+                .agg(F.min("b").alias("m"))
+                .filter(F.col("m") < F.col("a"))
+                .select(F.col("a").alias("_f"), F.col("m").alias("_t"))
+            )
+            if dmap.limit(1).count() == 0:
+                break
+            # path-compress the merge map to its roots (fixpoint): merge
+            # cascades c→b→a must fully resolve BEFORE relabeling, or an
+            # edge rewritten to a stale intermediate label could lose the
+            # connection recorded only in the map. Doubling per pass →
+            # O(log chain) passes over the (small, shrinking) map.
+            for _ in range(32):
+                d2 = dmap.select(
+                    F.col("_f").alias("_f2"), F.col("_t").alias("_t2")
+                )
+                nxt = dmap.join(d2, dmap["_t"] == d2["_f2"], "left")
+                still = nxt.filter(F.col("_t2").isNotNull()).limit(1).count()
+                dmap = spill(
+                    nxt.select("_f", F.coalesce("_t2", "_t").alias("_t"))
+                )
+                if still == 0:
+                    break
+            # rewrite node labels through the compressed map
+            labels = spill(
+                labels.join(dmap, labels["label"] == dmap["_f"], "left")
+                .select("id", F.coalesce("_t", "label").alias("label"))
+            )
+            # contract the edge set onto the new label space
+            for c in ("a", "b"):
+                e2 = (
+                    e2.join(dmap, e2[c] == dmap["_f"], "left")
+                    .withColumn(c, F.coalesce("_t", F.col(c)))
+                    .drop("_f", "_t")
+                )
+            e2 = spill(
+                e2.filter(F.col("a") != F.col("b")).dropDuplicates()
+            )
+            n_e = e2.limit(1).count()
+            if verbose:
+                import sys as _sys
+
+                print(
+                    f"cc round {it + 1}: edges_left={'>0' if n_e else 0}",
+                    file=_sys.stderr,
+                )
+            if n_e == 0:
+                break
+        out = labels.select(
+            "id", F.col("label").alias("canonical_id")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(spill_dir, ignore_errors=True)
+    return out
 
 
 def apply_canonical(
