@@ -161,3 +161,42 @@ def test_stateful_next_turn_across_drops(spark, tmp_path):
         ("turn:c1:1", "NEXT_TURN", "turn:c1:2"),
         ("turn:c2:0", "NEXT_TURN", "turn:c2:1"),
     }
+
+
+def test_incremental_prov_additive(spark, transcripts, lexicon, tmp_path):
+    """Streaming provenance snapshot: support counts accumulate
+    additively across conversation-complete drops and match a one-shot
+    provenance run over the full input; first_seen_run is stable."""
+    from kgflow.plans import pipeline as P
+
+    terms, isa = lexicon
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    half1 = transcripts.filter(F.col("conv_id") < "conv-000015")
+    half2 = transcripts.filter(F.col("conv_id") >= "conv-000015")
+
+    half1.write.mode("append").parquet(in_dir)
+    incremental.incremental_extract_prov(spark, in_dir, out_dir, terms, isa)
+    snap1 = {
+        (r.subj, r.pred, r.obj): r.first_seen_run
+        for r in incremental.read_prov_triples(spark, out_dir).collect()
+    }
+    assert snap1
+
+    half2.write.mode("append").parquet(in_dir)
+    incremental.incremental_extract_prov(spark, in_dir, out_dir, terms, isa)
+    final = incremental.read_prov_triples(spark, out_dir).collect()
+
+    got = {
+        (r.subj, r.pred, r.obj): (r.family, r.n_obs, r.n_convs) for r in final
+    }
+    oneshot = {
+        (r.subj, r.pred, r.obj): (r.family, r.n_obs, r.n_convs)
+        for r in P.build_triples_prov(transcripts, terms, isa).collect()
+    }
+    assert got == oneshot
+    # triples first seen in drop 1 keep their original run id
+    for r in final:
+        k = (r.subj, r.pred, r.obj)
+        if k in snap1:
+            assert r.first_seen_run == snap1[k]
