@@ -82,11 +82,19 @@ def run_level(workers: int, cores: int, mem_mb: int, path: str, runs: int) -> di
     # (Worker "Shutdown hooks cannot be modified during shutdown"), not
     # a failed measurement — accept the result and note the exit code.
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
-    if lines:
-        if out.returncode != 0:
-            print(f"note: workers={workers} exited rc={out.returncode} "
-                  "after printing its result (shutdown race)", file=sys.stderr)
-        return json.loads(lines[-1])
+    # a JSON-looking line is only a valid measurement if it parses AND
+    # carries the expected result keys — a child that crashed mid-level
+    # after emitting unrelated output must raise, not be recorded
+    for line in reversed(lines):
+        try:
+            res = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(res, dict) and {"sec", "triples", "total_cores"} <= res.keys():
+            if out.returncode != 0:
+                print(f"note: workers={workers} exited rc={out.returncode} "
+                      "after printing its result (shutdown race)", file=sys.stderr)
+            return res
     sys.stderr.write(out.stderr[-8000:])
     raise RuntimeError(f"level workers={workers} failed rc={out.returncode}")
 

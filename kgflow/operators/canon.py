@@ -25,7 +25,9 @@ graph diameter for the doubling variant below.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import uuid
+
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -53,12 +55,77 @@ def dedup_keep_first(df: DataFrame, keys: list[str], order_by: list) -> DataFram
     )
 
 
+def _union_find_map(rows, find_cache: dict | None = None) -> dict:
+    """Driver-side union-find over (a, b) edge rows; returns the full
+    (member -> min-of-component) map. Union-by-value (larger root links
+    under smaller root) guarantees every root is the component minimum."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in rows:
+        ra, rb = find(row.a), find(row.b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    members = sorted(set(parent) | {find(k) for k in parent})
+    return {m: find(m) for m in members}
+
+
+def _hadoop_rm(spark, path: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API — works for any
+    scheme (hdfs://, s3a://, file:/) unlike shutil, which only handles the
+    driver-local filesystem."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+    except Exception:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _resolve_spill_dir(spark, checkpoint_dir: str | None) -> str:
+    """Pick a spill location VISIBLE TO ALL EXECUTORS. Under a multi-node
+    master, executors commit parquet task files to wherever the path
+    resolves on *their* machines — a driver-local tempdir would leave the
+    driver reading missing/empty data. Resolution order: explicit param >
+    sparkContext checkpoint dir > warehouse dir (shared storage on real
+    deployments) > driver-local temp (only safe for local/local-cluster
+    masters, where every process shares the driver's filesystem)."""
+    run = f"kgflow_cc_{uuid.uuid4().hex[:12]}"
+    if checkpoint_dir:
+        return f"{checkpoint_dir.rstrip('/')}/{run}"
+    ckpt = spark.sparkContext.getCheckpointDir()
+    if ckpt:
+        return f"{ckpt.rstrip('/')}/{run}"
+    master = spark.sparkContext.master or ""
+    if master.startswith("local"):
+        # local[*] / local-cluster[...]: one host, one filesystem
+        import tempfile
+
+        return tempfile.mkdtemp(prefix=run)
+    # multi-node without a checkpoint dir: the warehouse dir is the one
+    # location conventionally on shared storage
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    return f"{wh.rstrip('/')}/{run}"
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
     driver_threshold: int = 200_000,
+    checkpoint_dir: str | None = None,
     verbose: bool = False,
 ) -> DataFrame:
     """(id, canonical_id) for every id reachable through same-as edges.
@@ -80,29 +147,15 @@ def connected_components(
     # driver, import_go_obo.py:64-145). Below the threshold a driver
     # union-find beats ~10 distributed join rounds of fixed latency;
     # the iterative path below is the 100 TB route.
+    # preserve the caller's id type — hardcoding string would make
+    # the operator crash below the threshold but work above it
+    id_type = dict(e.dtypes)["a"]
     n_edges = e.limit(driver_threshold + 1).count()
     if n_edges <= driver_threshold:
-        parent: dict[str, str] = {}
-
-        def find(x: str) -> str:
-            root = x
-            while parent.get(root, root) != root:
-                root = parent[root]
-            while parent.get(x, x) != x:
-                parent[x], x = root, parent[x]
-            return root
-
-        for row in e.collect():
-            ra, rb = find(row.a), find(row.b)
-            if ra != rb:
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        members = sorted(set(parent) | {find(k) for k in parent})
-        data = [(m, find(m)) for m in members]
-        # preserve the caller's id type — hardcoding string would make
-        # the operator crash below the threshold but work above it
-        id_type = dict(e.dtypes)["a"]
-        return spark.createDataFrame(data, f"id {id_type}, canonical_id {id_type}")
+        cmap = _union_find_map(e.collect())
+        return spark.createDataFrame(
+            list(cmap.items()), f"id {id_type}, canonical_id {id_type}"
+        )
 
     # ------------------------------------------------------------------
     # Distributed path: min-merge GRAPH CONTRACTION with parquet-spill
@@ -126,17 +179,30 @@ def connected_components(
     #    plateaus merge a handful of labels per round on high-diameter
     #    graphs (measured: ~130 merges/round on a 916k-node component).
     # ------------------------------------------------------------------
-    import shutil
-    import tempfile
-
-    spill_dir = tempfile.mkdtemp(prefix="kgflow_cc_")
+    # Per-round driver actions are the fixed-latency floor of this loop
+    # (tail rounds run on a few thousand rows but still pay full job
+    # latency), so (a) every row count rides the spill write itself via
+    # an Observation — zero extra jobs — and (b) once the contracted
+    # edge set fits the driver threshold, a driver union-find finishes
+    # the job in one collect instead of 3-6 more distributed rounds.
+    spill_dir = _resolve_spill_dir(spark, checkpoint_dir)
     spill_seq = [0]
 
-    def spill(df: DataFrame) -> DataFrame:
+    def spill(df: DataFrame, obs: Observation | None = None):
+        """Parquet round-trip (truncates lineage + resets stats). If an
+        Observation is attached, its metric is computed by the write job
+        and returned alongside — the write already knows its row count."""
         p = f"{spill_dir}/s{spill_seq[0]}"
         spill_seq[0] += 1
         df.write.mode("overwrite").parquet(p)
-        return spark.read.parquet(p)
+        out = spark.read.parquet(p)
+        if obs is None:
+            return out
+        return out, (obs.get["m"] or 0)
+
+    def spill_count(df: DataFrame):
+        obs = Observation()
+        return spill(df.observe(obs, F.count(F.lit(1)).alias("m")), obs)
 
     try:
         nodes = e.select(F.col("a").alias("id")).union(e.select("b")).distinct()
@@ -150,27 +216,34 @@ def connected_components(
 
         for it in range(max_iter):
             # each label-node merges into its smallest neighbor
-            dmap = spill(
+            dmap, n_merge = spill_count(
                 e2.groupBy("a")
                 .agg(F.min("b").alias("m"))
                 .filter(F.col("m") < F.col("a"))
                 .select(F.col("a").alias("_f"), F.col("m").alias("_t"))
             )
-            if dmap.limit(1).count() == 0:
+            if n_merge == 0:
                 break
             # path-compress the merge map to its roots (fixpoint): merge
             # cascades c→b→a must fully resolve BEFORE relabeling, or an
             # edge rewritten to a stale intermediate label could lose the
             # connection recorded only in the map. Doubling per pass →
-            # O(log chain) passes over the (small, shrinking) map.
+            # O(log chain) passes over the (small, shrinking) map; the
+            # unresolved-row count rides each pass's spill write.
             for _ in range(32):
                 d2 = dmap.select(
                     F.col("_f").alias("_f2"), F.col("_t").alias("_t2")
                 )
                 nxt = dmap.join(d2, dmap["_t"] == d2["_f2"], "left")
-                still = nxt.filter(F.col("_t2").isNotNull()).limit(1).count()
-                dmap = spill(
-                    nxt.select("_f", F.coalesce("_t2", "_t").alias("_t"))
+                obs = Observation()
+                nxt = nxt.observe(
+                    obs,
+                    F.sum(
+                        F.when(F.col("_t2").isNotNull(), 1).otherwise(0)
+                    ).alias("m"),
+                )
+                dmap, still = spill(
+                    nxt.select("_f", F.coalesce("_t2", "_t").alias("_t")), obs
                 )
                 if still == 0:
                     break
@@ -186,24 +259,43 @@ def connected_components(
                     .withColumn(c, F.coalesce("_t", F.col(c)))
                     .drop("_f", "_t")
                 )
-            e2 = spill(
+            e2, n_e = spill_count(
                 e2.filter(F.col("a") != F.col("b")).dropDuplicates()
             )
-            n_e = e2.limit(1).count()
             if verbose:
                 import sys as _sys
 
                 print(
-                    f"cc round {it + 1}: edges_left={'>0' if n_e else 0}",
+                    f"cc round {it + 1}: merges={n_merge} edges_left={n_e}",
                     file=_sys.stderr,
                 )
             if n_e == 0:
+                break
+            if n_e <= driver_threshold:
+                # hybrid finisher: the residual label graph fits on the
+                # driver — one collect + union-find replaces the last few
+                # rounds of fixed job latency, then one broadcast join
+                # folds the result back into the distributed label map.
+                cmap = _union_find_map(e2.collect())
+                fmap = spark.createDataFrame(
+                    list(cmap.items()), f"_f {id_type}, _t {id_type}"
+                )
+                labels = labels.join(
+                    F.broadcast(fmap), labels["label"] == fmap["_f"], "left"
+                ).select("id", F.coalesce("_t", "label").alias("label"))
+                if verbose:
+                    import sys as _sys
+
+                    print(
+                        f"cc finisher: {n_e} residual edges resolved driver-side",
+                        file=_sys.stderr,
+                    )
                 break
         out = labels.select(
             "id", F.col("label").alias("canonical_id")
         ).localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(spill_dir, ignore_errors=True)
+        _hadoop_rm(spark, spill_dir)
     return out
 
 

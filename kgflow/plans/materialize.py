@@ -65,6 +65,7 @@ def merge_into_sql(
     keys: list[str],
     mode: str = "latest_wins",
     merge_cols: list[str] | None = None,
+    exclude_update_cols: list[str] | None = None,
 ) -> str:
     """MERGE INTO statement with the same observable semantics as the
     parquet-snapshot fallback. Pure string builder so the SQL shape is
@@ -76,9 +77,14 @@ def merge_into_sql(
       sorted-distinct unions of both sides' comma-splits (the
       order-insensitive ON MATCH aggregate of david_gene_name.cql:40-42)
       and take the batch value for every other column.
+    * ``exclude_update_cols``: columns omitted from the WHEN MATCHED
+      update list — the target keeps its original value. This is how
+      first-seen lineage columns (``first_seen_run``) survive upserts:
+      they are INSERTed for new keys but never overwritten on match.
     """
     on = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
-    value_cols = [c for c in columns if c not in keys]
+    excl = set(exclude_update_cols or [])
+    value_cols = [c for c in columns if c not in keys and c not in excl]
     if mode == "merge_props":
         mc = set(merge_cols or [])
         sets = []
@@ -91,9 +97,18 @@ def merge_into_sql(
                 )
             else:
                 sets.append(f"t.{c} = s.{c}")
-        update = "UPDATE SET " + ", ".join(sets) if sets else "UPDATE SET *"
+    elif excl:
+        sets = [f"t.{c} = s.{c}" for c in value_cols]
     else:
+        sets = None
+    if sets is None:
         update = "UPDATE SET *"
+    elif sets:
+        update = "UPDATE SET " + ", ".join(sets)
+    else:
+        # every value column excluded: matched rows are left untouched,
+        # but key equality must still short-circuit the INSERT branch
+        update = "UPDATE SET " + ", ".join(f"t.{k} = t.{k}" for k in keys[:1])
     return (
         f"MERGE INTO {table} t USING {src_view} s ON {on} "
         f"WHEN MATCHED THEN {update} "
@@ -107,6 +122,7 @@ def _upsert_iceberg(
     keys: list[str],
     mode: str,
     merge_cols: list[str] | None,
+    exclude_update_cols: list[str] | None = None,
 ) -> None:
     """One atomic MERGE INTO commit (snapshot isolation) — the scale
     sink; the parquet snapshot dir is the sandbox stand-in."""
@@ -131,7 +147,12 @@ def _upsert_iceberg(
         if not spark.catalog.tableExists(table):
             spark.sql(f"CREATE TABLE {table} USING iceberg AS SELECT * FROM {view}")
             return
-        spark.sql(merge_into_sql(table, view, batch.columns, keys, mode, merge_cols))
+        spark.sql(
+            merge_into_sql(
+                table, view, batch.columns, keys, mode, merge_cols,
+                exclude_update_cols,
+            )
+        )
     finally:
         spark.catalog.dropTempView(view)
 
@@ -144,6 +165,7 @@ def upsert(
     mode: str = "latest_wins",
     merge_cols: list[str] | None = None,
     iceberg_table: str | None = None,
+    exclude_update_cols: list[str] | None = None,
 ) -> None:
     """MERGE-semantics upsert: one row per key, highest ``order_col`` wins;
     ties broken deterministically by the remaining columns' hash (no
@@ -163,10 +185,16 @@ def upsert(
     (no batch-seq bookkeeping needed — commit order is the order) and
     ``path`` is untouched; otherwise the portable snapshot-dir fallback
     below runs, so the same call sites work with or without the jar.
+
+    ``exclude_update_cols``: first-writer-wins columns (first-seen
+    lineage, e.g. ``build_triples_prov.first_seen_run``). On the Iceberg
+    path they are omitted from the WHEN MATCHED update list; the
+    fallback resolves them with ``min_by(order_col)`` — earliest batch
+    wins — so both sinks observe the same rule.
     """
     spark = df.sparkSession
     if iceberg_table is not None and iceberg_available(spark):
-        _upsert_iceberg(df, iceberg_table, keys, mode, merge_cols)
+        _upsert_iceberg(df, iceberg_table, keys, mode, merge_cols, exclude_update_cols)
         return
     existing = read_table(spark, path)
     # Monotonic batch sequence: next = max(existing) + 1, so two upserts
@@ -186,10 +214,28 @@ def upsert(
         if order_col not in existing.columns:
             existing = existing.withColumn(order_col, F.lit(0))
         batch = existing.unionByName(batch, allowMissingColumns=True)
-    if mode == "merge_props":
-        write_snapshot(
-            merge_props_resolve(batch, keys, merge_cols or [], order_col), path
+    excl = [
+        c
+        for c in (exclude_update_cols or [])
+        if c in batch.columns and c not in keys and c != order_col
+    ]
+
+    def _keep_first(merged: DataFrame) -> DataFrame:
+        # first-writer-wins columns: earliest batch's value, deterministic
+        # tiebreak by the value itself; joined back on the same keys the
+        # merge just shuffled on
+        firsts = batch.groupBy(*keys).agg(
+            *[
+                F.min_by(F.col(c), F.struct(F.col(order_col), F.col(c))).alias(c)
+                for c in excl
+            ]
         )
+        cols = merged.columns
+        return merged.drop(*excl).join(firsts, keys).select(*cols)
+
+    if mode == "merge_props":
+        merged = merge_props_resolve(batch, keys, merge_cols or [], order_col)
+        write_snapshot(_keep_first(merged) if excl else merged, path)
         return
     value_cols = [c for c in batch.columns if c not in keys and c != order_col]
     content_tiebreak = (
@@ -203,7 +249,7 @@ def upsert(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    write_snapshot(merged, path)
+    write_snapshot(_keep_first(merged) if excl else merged, path)
 
 
 def merge_props_resolve(
@@ -244,16 +290,30 @@ def merge_props_resolve(
     return out.select(*keys, *merge_cols, *other)
 
 
-def write_snapshot(df: DataFrame, path: str) -> str:
+def read_pointer_meta(path: str) -> dict | None:
+    """Commit metadata recorded with the latest snapshot pointer (None if
+    the table does not exist yet). The pointer flip is atomic, so meta is
+    exactly as current as the data it was committed with — this is what
+    makes ``merged_batch_id`` a reliable replay guard."""
+    p = os.path.join(path, _POINTER)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh).get("meta", {})
+
+
+def write_snapshot(df: DataFrame, path: str, meta: dict | None = None) -> str:
     """Write a new immutable snapshot dir and flip the pointer (the
-    parquet stand-in for an Iceberg snapshot commit)."""
+    parquet stand-in for an Iceberg snapshot commit). ``meta`` rides the
+    pointer flip atomically — snapshot-level commit properties, same role
+    as Iceberg's snapshot summary map."""
     os.makedirs(path, exist_ok=True)
     snap = f"snap-{int(time.time() * 1000)}-{os.getpid()}"
     out = os.path.join(path, snap)
     df.write.mode("overwrite").parquet(out)
     tmp = os.path.join(path, _POINTER + ".tmp")
     with open(tmp, "w") as fh:
-        json.dump({"snapshot": snap, "ts": time.time()}, fh)
+        json.dump({"snapshot": snap, "ts": time.time(), "meta": meta or {}}, fh)
     os.replace(tmp, os.path.join(path, _POINTER))
     # retain only the two most recent snapshots (cheap time travel)
     snaps = sorted(d for d in os.listdir(path) if d.startswith("snap-"))

@@ -250,8 +250,12 @@ def build_triples_prov(
     * ``n_convs`` — distinct source conversations supporting it
       (0 for ontology rows — count_distinct ignores the null src)
     * ``first_seen_run`` — the producing run id; under MERGE upserts
-      (materialize.upsert) exclude this column from the update set so
-      the first writer wins, giving first-seen lineage.
+      pass ``materialize.upsert(...,
+      exclude_update_cols=["first_seen_run"])`` (or ``merge_into_sql``'s
+      option of the same name) so the column is omitted from the WHEN
+      MATCHED update list — first writer wins, giving first-seen
+      lineage. The streaming snapshot merge keeps it first-seen via
+      ``min`` over zero-padded run ids (incremental_extract_prov).
 
     One groupBy on the same key the plain path dedups on — identical
     shuffle cost, so provenance is free at scale.

@@ -81,10 +81,28 @@ def incremental_extract_prov(
     ``build_triples_prov`` aggregates the batch and the result is merged
     into the keyed snapshot with ADDITIVE support counts — ``n_obs`` and
     ``n_convs`` sum across batches (exact under the conversation-
-    complete drop contract: each conv_id lands wholly in one batch, so
+    complete drop contract: each conv_id lands wholly in one drop, so
     no supporting conversation is double-counted), ``family`` is stable
     (min), and ``first_seen_run`` keeps the earliest batch's run id
     (zero-padded batch ids make lexicographic min = earliest).
+
+    Two correctness guards an additive merge needs and the plain append
+    path (which dedups on read) does not:
+
+    * ONE BATCH PER DRAIN — no ``maxFilesPerTrigger``. A file-count
+      split could straddle one conversation's part-files across two
+      micro-batches and double-count its ``n_convs``; with availableNow
+      draining everything in a single batch, the conversation-complete
+      contract only has to hold per DROP, which the producer satisfies
+      by construction (all files present at drain time form one batch).
+    * REPLAY GUARD — ``foreachBatch`` is at-least-once: a crash between
+      the snapshot write and the stream-checkpoint commit replays the
+      batch on restart, which would double the counts silently. The max
+      merged ``batch_id`` rides the snapshot pointer flip atomically
+      (``write_snapshot(meta=...)``), and ``handle`` skips any batch id
+      already recorded — making snapshot + skip idempotent under replay
+      (the Iceberg form of the same guard is a MERGE conditioned on a
+      commit-property batch id).
 
     The merge is one groupBy on the triple key per batch — the same
     shuffle the batch dedup already pays — against the current snapshot,
@@ -96,15 +114,14 @@ def incremental_extract_prov(
 
     lex = P.prepare_lexicon(terms)
     snap_path = os.path.join(out_dir, "triples_prov")
-    stream = (
-        spark.readStream.schema(schemas.TRANSCRIPT)
-        .option("maxFilesPerTrigger", "64")
-        .parquet(input_dir)
-    )
+    stream = spark.readStream.schema(schemas.TRANSCRIPT).parquet(input_dir)
     batches = {"n": 0}
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         batches["n"] += 1
+        meta = mat.read_pointer_meta(snap_path)
+        if meta is not None and batch_id <= meta.get("merged_batch_id", -1):
+            return  # at-least-once replay of an already-merged batch
         run_id = f"{run_prefix}-{batch_id:09d}"
         new = P.build_triples_prov(batch_df, terms, isa_edges, lex=lex, run_id=run_id)
         existing = mat.read_table(spark, snap_path)
@@ -118,7 +135,7 @@ def incremental_extract_prov(
             F.sum("n_convs").alias("n_convs"),
             F.min("first_seen_run").alias("first_seen_run"),
         )
-        mat.write_snapshot(merged, snap_path)
+        mat.write_snapshot(merged, snap_path, meta={"merged_batch_id": batch_id})
 
     q = (
         stream.writeStream.foreachBatch(handle)

@@ -45,6 +45,39 @@ def test_connected_components_long_path(spark):
     assert cc.count() == 64
 
 
+def test_connected_components_hybrid_finisher(spark, tmp_path):
+    """Mid-loop driver finisher: initial edges exceed driver_threshold so
+    the distributed path runs, but the contracted residual fits, so the
+    union-find finisher completes the job — output must be identical to
+    the pure fast path. Also exercises an explicit checkpoint_dir."""
+    rows = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(39)] + [
+        (f"m{i:02d}", f"m{i + 1:02d}") for i in range(9)
+    ]
+    edges = spark.createDataFrame(rows, "id_a string, id_b string")
+    got = {
+        (r.id, r.canonical_id)
+        for r in canon.connected_components(
+            edges, driver_threshold=8, checkpoint_dir=str(tmp_path)
+        ).collect()
+    }
+    expected = {(f"n{i:03d}", "n000") for i in range(40)} | {
+        (f"m{i:02d}", "m00") for i in range(10)
+    }
+    assert got == expected
+    # the spill dir under checkpoint_dir must be cleaned up afterwards
+    assert list(tmp_path.iterdir()) == []
+
+
+def test_resolve_spill_dir_prefers_cluster_visible(spark):
+    """ADVICE r3: executors commit task files on THEIR filesystems — the
+    spill must land somewhere cluster-visible when a location is known."""
+    p = canon._resolve_spill_dir(spark, "/tmp/ckpt_explicit/")
+    assert p.startswith("/tmp/ckpt_explicit/kgflow_cc_")
+    # no explicit dir + local master -> driver-local temp is legitimate
+    p2 = canon._resolve_spill_dir(spark, None)
+    assert "kgflow_cc_" in p2
+
+
 def test_canonical_pairs(spark):
     df = spark.createDataFrame(
         [("b", "a"), ("a", "b"), ("a", "a"), ("c", "b")], "x string, y string"

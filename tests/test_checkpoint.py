@@ -298,6 +298,55 @@ def test_merge_into_sql_builder(spark):
     assert "WHEN MATCHED THEN UPDATE SET *" in latest
 
 
+def test_merge_into_sql_exclude_update_cols():
+    """First-seen lineage columns (build_triples_prov.first_seen_run) are
+    INSERTed for new keys but never overwritten on match."""
+    sql = mat.merge_into_sql(
+        "cat.kg.triples", "src",
+        ["subj", "pred", "obj", "family", "n_obs", "first_seen_run"],
+        ["subj", "pred", "obj"],
+        exclude_update_cols=["first_seen_run"],
+    )
+    assert "t.family = s.family" in sql and "t.n_obs = s.n_obs" in sql
+    assert "first_seen_run" not in sql.split("WHEN MATCHED")[1].split("WHEN NOT MATCHED")[0]
+    assert "WHEN NOT MATCHED THEN INSERT *" in sql
+    # merge_props mode honors the exclusion too
+    sql2 = mat.merge_into_sql(
+        "t", "s", ["id", "names", "first_seen_run"], ["id"],
+        mode="merge_props", merge_cols=["names"],
+        exclude_update_cols=["first_seen_run"],
+    )
+    assert "t.first_seen_run" not in sql2.split("WHEN MATCHED")[1].split("WHEN NOT MATCHED")[0]
+    # all value columns excluded: matched rows become a no-op, INSERT intact
+    sql3 = mat.merge_into_sql(
+        "t", "s", ["id", "first_seen_run"], ["id"],
+        exclude_update_cols=["first_seen_run"],
+    )
+    assert "UPDATE SET t.id = t.id" in sql3
+
+
+def test_upsert_fallback_keep_first(spark, tmp_path):
+    """The parquet-snapshot fallback honors exclude_update_cols with the
+    same observable rule as the Iceberg MERGE: first writer wins for the
+    excluded column, latest wins elsewhere."""
+    path = str(tmp_path / "t")
+    mat.upsert(
+        spark.createDataFrame([("k", 1, "run-a")], "id string, v int, seen string"),
+        path, ["id"], exclude_update_cols=["seen"],
+    )
+    mat.upsert(
+        spark.createDataFrame(
+            [("k", 2, "run-b"), ("j", 9, "run-b")], "id string, v int, seen string"
+        ),
+        path, ["id"], exclude_update_cols=["seen"],
+    )
+    got = {
+        (r.id, r.v, r.seen)
+        for r in mat.read_table(spark, path).select("id", "v", "seen").collect()
+    }
+    assert got == {("k", 2, "run-a"), ("j", 9, "run-b")}
+
+
 def test_ledger_quality_lineage(spark, transcripts, lexicon, tmp_path):
     """Ledger rows carry per-bucket data-quality aggregates (avg token
     count, scaled-int TTR, empty-turn count) beside the lineage counts."""

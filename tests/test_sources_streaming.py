@@ -200,3 +200,34 @@ def test_incremental_prov_additive(spark, transcripts, lexicon, tmp_path):
         k = (r.subj, r.pred, r.obj)
         if k in snap1:
             assert r.first_seen_run == snap1[k]
+
+
+def test_incremental_prov_replay_idempotent(spark, transcripts, lexicon, tmp_path):
+    """foreachBatch is at-least-once: a crash between the snapshot write
+    and the stream-checkpoint commit replays the batch. Simulated here by
+    deleting the stream checkpoint (so the restarted stream re-delivers
+    everything as an already-seen batch id) — the merged_batch_id guard
+    riding the snapshot pointer must skip it, leaving every additive
+    count unchanged."""
+    import shutil
+
+    terms, isa = lexicon
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    transcripts.filter(F.col("conv_id") < "conv-000010").write.mode(
+        "append"
+    ).parquet(in_dir)
+    incremental.incremental_extract_prov(spark, in_dir, out_dir, terms, isa)
+    before = {
+        (r.subj, r.pred, r.obj): (r.family, r.n_obs, r.n_convs, r.first_seen_run)
+        for r in incremental.read_prov_triples(spark, out_dir).collect()
+    }
+    assert before
+    # lose the checkpoint but keep the snapshot: the worst-case replay
+    shutil.rmtree(tmp_path / "out" / "_stream_prov_checkpoint")
+    incremental.incremental_extract_prov(spark, in_dir, out_dir, terms, isa)
+    after = {
+        (r.subj, r.pred, r.obj): (r.family, r.n_obs, r.n_convs, r.first_seen_run)
+        for r in incremental.read_prov_triples(spark, out_dir).collect()
+    }
+    assert after == before

@@ -82,7 +82,13 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {str(e)[:200]}")
             failures.append(name)
-            record[name] = {"err": f"spark: {str(e)[:200]}"}
+            # uniform record schema on every path — consumers keying on
+            # record[name]["hash_match"] must never hit KeyError
+            record[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"spark: {str(e)[:200]}",
+            }
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (no oracle — rows-only)")
@@ -98,7 +104,11 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {str(e)[:200]}")
             failures.append(name)
-            record[name] = {"err": f"duckdb: {str(e)[:200]}"}
+            record[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(srows), "oracle_rows": None,
+                "err": f"duckdb: {str(e)[:200]}",
+            }
             continue
         ok_cols = sorted(scols) == sorted(dcols)
         ok_count = len(srows) == len(drows)
