@@ -1612,6 +1612,48 @@ def q_contamination_probe(spark, sf):
     ).select("r.probe", "r.n_docs")
 
 
+def q_contamination_probe_ac(spark, sf):
+    """Large-probe-set contamination probing (the wide-lexicon path of
+    ``q_contamination_probe``): a token Aho–Corasick automaton built once
+    per executor from the broadcast probe list scans each document in ONE
+    pass regardless of probe count — the per-probe-column plan of the
+    literal variant stops being viable at ~10k probes (10k projected
+    columns), while the automaton's per-token work stays O(1) amortized.
+    Semantics: token-boundary occurrence (probe tokens appear as a
+    contiguous token subsequence of the whitespace-normalized text), with
+    every probe detected independently — nested/overlapping probes all
+    count (``TokenAhoCorasick.match_set``). Per-batch partial counts are
+    combined map-side in Python, so the shuffle is |probes| rows per
+    partition. Zero-hit probes are kept via a left join from the probe
+    dimension."""
+    import pandas as pd
+
+    d = _t(spark, sf, "documents").select("text")
+    probes = list(_PROBES)
+    bc = spark.sparkContext.broadcast(probes)
+
+    def run(batches):
+        from kgflow.operators.extract import TokenAhoCorasick
+
+        ac = TokenAhoCorasick(bc.value)
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf["text"]:
+                if isinstance(text, str) and text:
+                    for p in ac.match_set(text):
+                        counts[p] = counts.get(p, 0) + 1
+        yield pd.DataFrame(
+            {"probe": list(counts.keys()), "n_hits": list(counts.values())}
+        )
+
+    hits = d.mapInPandas(run, "probe string, n_hits long")
+    per_probe = hits.groupBy("probe").agg(F.sum("n_hits").alias("n"))
+    all_probes = spark.createDataFrame([(p,) for p in probes], "probe string")
+    return all_probes.join(per_probe, "probe", "left").select(
+        "probe", F.coalesce("n", F.lit(0)).cast("long").alias("n_docs")
+    )
+
+
 def q_lexical_diversity(spark, sf):
     """Quality dimension: type-token ratio per source (distinct tokens /
     total tokens), scaled-integer exact so the aggregate is independent
@@ -1925,12 +1967,31 @@ _R3_QUERIES = {
     "kg_prov_rollup": q_kg_prov_rollup,
 }
 
+_R4_QUERIES = {
+    "contamination_probe_ac": q_contamination_probe_ac,
+}
+
+
+def _r4_oracles() -> dict[str, str]:
+    return {
+        # token-boundary occurrence: the probe's tokens as a contiguous
+        # token subsequence ⇔ space-padded substring of the space-padded
+        # normalized text
+        "contamination_probe_ac": f"""
+            WITH p AS (SELECT unnest({_PROBES!r}) AS probe)
+            SELECT p.probe,
+              CAST(SUM(CASE WHEN contains(' ' || {_NORM} || ' ', ' ' || p.probe || ' ')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+            FROM documents, p GROUP BY p.probe""",
+    }
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _base_queries()
     q.update(_LATE_QUERIES)
     q.update(_R2_QUERIES)
     q.update(_R3_QUERIES)
+    q.update(_R4_QUERIES)
     return q
 
 
@@ -1942,4 +2003,5 @@ def oracle_sql() -> dict[str, str]:
     # one construction-inverse oracle checks both wire formats
     o["doc_parse_xml"] = o["doc_parse_fields"]
     o["kg_prov_rollup"] = _KG_PROV_ROLLUP_SQL
+    o.update(_r4_oracles())
     return o

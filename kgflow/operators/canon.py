@@ -185,8 +185,11 @@ def connected_components(
     # an Observation — zero extra jobs — and (b) once the contracted
     # edge set fits the driver threshold, a driver union-find finishes
     # the job in one collect instead of 3-6 more distributed rounds.
+    import time as _time
+
     spill_dir = _resolve_spill_dir(spark, checkpoint_dir)
     spill_seq = [0]
+    t_start = _time.time()
 
     def spill(df: DataFrame, obs: Observation | None = None):
         """Parquet round-trip (truncates lineage + resets stats). If an
@@ -204,15 +207,65 @@ def connected_components(
         obs = Observation()
         return spill(df.observe(obs, F.count(F.lit(1)).alias("m")), obs)
 
+    def compress_map(m: DataFrame) -> DataFrame:
+        """Path-compress an (_f → _t) map to its roots by doubling, with
+        a SHRINKING frontier: a row whose target is not itself mapped
+        already points at a root — it is final and leaves the loop (its
+        pass's write is its last). Only still-live rows keep jumping, so
+        per-pass write volume halves geometrically (Σ|live_p| ≈ 2|m|
+        total instead of passes×|m|) and each pass is ONE join + ONE
+        partitioned write; the build side stays the full current map
+        (required for true doubling), assembled from the spilled parts.
+        The live count rides the write via Observation."""
+        done_parts: list[DataFrame] = []
+        for _ in range(32):
+            build = m
+            for part in done_parts:
+                build = build.unionByName(part)
+            d2 = build.select(F.col("_f").alias("_f2"), F.col("_t").alias("_t2"))
+            obs = Observation()
+            nxt = (
+                m.join(d2, m["_t"] == d2["_f2"], "left")
+                .select(
+                    "_f",
+                    F.coalesce("_t2", "_t").alias("_t"),
+                    # int, not boolean: partition-value inference on read
+                    # has no boolean type (it would come back as string)
+                    F.col("_t2").isNotNull().cast("int").alias("_live"),
+                )
+                .observe(obs, F.sum(F.col("_live")).alias("m"))
+            )
+            p = f"{spill_dir}/s{spill_seq[0]}"
+            spill_seq[0] += 1
+            nxt.write.mode("overwrite").partitionBy("_live").parquet(p)
+            still = obs.get["m"] or 0
+            full = spark.read.parquet(p)
+            done_parts.append(full.filter(F.col("_live") == 0).drop("_live"))
+            m = full.filter(F.col("_live") == 1).drop("_live")
+            if still == 0:
+                break
+        # parts are disjoint spilled parquet scans — union, don't rewrite
+        for part in done_parts:
+            m = m.unionByName(part)
+        return m
+
     try:
-        nodes = e.select(F.col("a").alias("id")).union(e.select("b")).distinct()
-        labels = spill(nodes.select("id", F.col("id").alias("label")))
+        nodes = spill(e.select(F.col("a").alias("id")).union(e.select("b")).distinct())
         # symmetric closure once; afterwards the edge set lives on the
         # shrinking label space
         e2 = spill(
             e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
             .dropDuplicates()
         )
+        # Per-round merge maps, composed ONCE at the end. Domains are
+        # disjoint across rounds (a label that merges away is rewritten
+        # out of the edge set and never merges again — guaranteed by the
+        # within-round compression below), so the union of the round
+        # maps is a function whose chains are at most one link per
+        # round; a single O(log rounds) doubling pass at the end
+        # resolves them. This removes the full-node-table label rewrite
+        # (the largest frame in the loop) from EVERY round.
+        maps: list[DataFrame] = []
 
         for it in range(max_iter):
             # each label-node merges into its smallest neighbor
@@ -225,33 +278,12 @@ def connected_components(
             if n_merge == 0:
                 break
             # path-compress the merge map to its roots (fixpoint): merge
-            # cascades c→b→a must fully resolve BEFORE relabeling, or an
-            # edge rewritten to a stale intermediate label could lose the
-            # connection recorded only in the map. Doubling per pass →
-            # O(log chain) passes over the (small, shrinking) map; the
-            # unresolved-row count rides each pass's spill write.
-            for _ in range(32):
-                d2 = dmap.select(
-                    F.col("_f").alias("_f2"), F.col("_t").alias("_t2")
-                )
-                nxt = dmap.join(d2, dmap["_t"] == d2["_f2"], "left")
-                obs = Observation()
-                nxt = nxt.observe(
-                    obs,
-                    F.sum(
-                        F.when(F.col("_t2").isNotNull(), 1).otherwise(0)
-                    ).alias("m"),
-                )
-                dmap, still = spill(
-                    nxt.select("_f", F.coalesce("_t2", "_t").alias("_t")), obs
-                )
-                if still == 0:
-                    break
-            # rewrite node labels through the compressed map
-            labels = spill(
-                labels.join(dmap, labels["label"] == dmap["_f"], "left")
-                .select("id", F.coalesce("_t", "label").alias("label"))
-            )
+            # cascades c→b→a must fully resolve BEFORE the edge rewrite,
+            # both so no edge lands on a stale intermediate label AND so
+            # merged-away labels never reappear in later rounds (the
+            # domain-disjointness the end-of-loop composition relies on).
+            dmap = compress_map(dmap)
+            maps.append(dmap)
             # contract the edge set onto the new label space
             for c in ("a", "b"):
                 e2 = (
@@ -266,7 +298,8 @@ def connected_components(
                 import sys as _sys
 
                 print(
-                    f"cc round {it + 1}: merges={n_merge} edges_left={n_e}",
+                    f"cc round {it + 1}: merges={n_merge} edges_left={n_e} "
+                    f"spills={spill_seq[0]} t={_time.time() - t_start:.1f}s",
                     file=_sys.stderr,
                 )
             if n_e == 0:
@@ -274,15 +307,14 @@ def connected_components(
             if n_e <= driver_threshold:
                 # hybrid finisher: the residual label graph fits on the
                 # driver — one collect + union-find replaces the last few
-                # rounds of fixed job latency, then one broadcast join
-                # folds the result back into the distributed label map.
+                # rounds of fixed job latency; its map is just another
+                # (already fully compressed) round map.
                 cmap = _union_find_map(e2.collect())
-                fmap = spark.createDataFrame(
-                    list(cmap.items()), f"_f {id_type}, _t {id_type}"
+                maps.append(
+                    spark.createDataFrame(
+                        list(cmap.items()), f"_f {id_type}, _t {id_type}"
+                    )
                 )
-                labels = labels.join(
-                    F.broadcast(fmap), labels["label"] == fmap["_f"], "left"
-                ).select("id", F.coalesce("_t", "label").alias("label"))
                 if verbose:
                     import sys as _sys
 
@@ -291,9 +323,33 @@ def connected_components(
                         file=_sys.stderr,
                     )
                 break
-        out = labels.select(
-            "id", F.col("label").alias("canonical_id")
-        ).localCheckpoint(eager=True)
+
+        # Compose the round maps in REVERSE. Chains run strictly forward
+        # in rounds (a round-r root can only die in a later round), so a
+        # tail map T that already maps every later-dying label to its
+        # FINAL root composes each earlier map with ONE left join — no
+        # doubling. The size skew makes this cheap: round 1's map holds
+        # almost all merged nodes, rounds 2+ operate on the contracted
+        # label space and are tiny, so every join until the last probes a
+        # small T, and the single big pass (round-1 map vs T) is a
+        # broadcast-size build side. T is spilled every few steps to keep
+        # the plan (and Catalyst's multiplying stats estimates) flat.
+        if maps:
+            tail = maps[-1]
+            for step, m in enumerate(reversed(maps[:-1])):
+                rewritten = m.join(tail, m["_t"] == tail["_f"], "left").select(
+                    m["_f"], F.coalesce(tail["_t"], m["_t"]).alias("_t")
+                )
+                tail = rewritten.unionByName(tail)
+                if step % 3 == 2:
+                    tail = spill(tail)
+            tail = spill(tail)
+            labels = nodes.join(tail, nodes["id"] == tail["_f"], "left").select(
+                "id", F.coalesce("_t", "id").alias("canonical_id")
+            )
+        else:
+            labels = nodes.select("id", F.col("id").alias("canonical_id"))
+        out = labels.localCheckpoint(eager=True)
     finally:
         _hadoop_rm(spark, spill_dir)
     return out

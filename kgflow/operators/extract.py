@@ -132,6 +132,25 @@ class TokenAhoCorasick:
                 self.fail[child] = self.goto[f].get(t, 0) if child != self.goto[f].get(t, 0) else 0
                 self.lengths[child] = self.lengths[child] + self.lengths[self.fail[child]]
 
+    def match_set(self, text: str) -> set[str]:
+        """ALL distinct patterns occurring in ``text`` at token
+        boundaries — independent per-pattern detection, NO greedy
+        non-overlapping sweep. This is the contamination-probe contract:
+        a probe must be counted even when it overlaps or nests inside
+        another probe's occurrence (where ``find``'s segmentation would
+        swallow it). One automaton pass per text regardless of probe
+        count."""
+        toks = text.lower().split()
+        hits: set[str] = set()
+        node = 0
+        for j, t in enumerate(toks):
+            while node and t not in self.goto[node]:
+                node = self.fail[node]
+            node = self.goto[node].get(t, 0)
+            for L in self.lengths[node]:
+                hits.add(" ".join(toks[j - L + 1 : j + 1]))
+        return hits
+
     def find(self, text: str):
         """Same output contract as ``find_mentions``."""
         toks = text.lower().split()

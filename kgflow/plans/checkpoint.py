@@ -30,6 +30,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def auto_bucket_count(
+    transcripts: DataFrame, target_rows_per_bucket: int = 200_000
+) -> int:
+    """Deterministic bucket count from input size: the next power of two
+    that keeps buckets near ``target_rows_per_bucket`` rows, clamped to
+    [8, 4096]. Power-of-two keeps counts stable under small input drift
+    (a 5% growth must NOT change the count — resume depends on it)."""
+    import math
+
+    n = transcripts.count()
+    raw = max(1.0, n / target_rows_per_bucket)
+    return max(8, min(4096, 2 ** math.ceil(math.log2(raw))))
+
+
 def with_bucket(transcripts: DataFrame, buckets: int) -> DataFrame:
     if "bucket" in transcripts.columns:
         return transcripts
@@ -120,10 +134,20 @@ def run_resumable(
     terms: DataFrame,
     isa_edges: DataFrame,
     out_dir: str,
-    buckets: int = 32,
+    buckets: int | None = 32,
     fail_after_buckets: int | None = None,
 ) -> ResumeReport:
     """Extract triples bucket-by-bucket group with ledger skip/resume.
+
+    ``buckets=None`` derives the count from the input size
+    (``auto_bucket_count``) — but ONLY on a fresh run. Once a ledger
+    exists, its recorded count is authoritative: the on-disk partition
+    layout and every fingerprint row were computed under it, so a
+    resumed auto run MUST reuse it even if the input has since grown
+    past the auto threshold (a changed count would re-bucket every
+    conversation — nothing would line up). Changing the count requires
+    an explicit ``buckets=`` (which re-runs everything, since no
+    fingerprint computed under a different count can match).
 
     ``fail_after_buckets`` simulates a mid-run crash for the
     resume-equals-fresh test: only the first k pending buckets are
@@ -133,6 +157,18 @@ def run_resumable(
 
     t_start = time.time()
     run_id = f"run-{int(t_start * 1000)}"
+    ledger = read_ledger(spark, out_dir)
+    if buckets is None:
+        recorded = None
+        if ledger is not None and "buckets" in ledger.columns:
+            latest_row = (
+                ledger.filter(F.col("buckets").isNotNull())
+                .orderBy(F.desc("ts"), F.desc("run_id"))
+                .select("buckets")
+                .first()
+            )
+            recorded = int(latest_row["buckets"]) if latest_row else None
+        buckets = recorded if recorded is not None else auto_bucket_count(transcripts)
     tr = with_bucket(transcripts, buckets)
     fps = bucket_fingerprints(tr)
     # terms/isa_edges are inputs to every bucket's triples (linking,
@@ -140,8 +176,6 @@ def run_resumable(
     # resume match key so a changed lexicon re-runs every bucket instead
     # of silently serving stale fingerprint-matching output.
     lex_fp = table_fingerprint(terms) + "|" + table_fingerprint(isa_edges)
-
-    ledger = read_ledger(spark, out_dir)
     if ledger is not None and "lex_fingerprint" in ledger.columns:
         from ..operators.canon import dedup_keep_first
 
@@ -206,6 +240,7 @@ def run_resumable(
                                 "lex_fingerprint": lex_fp,
                                 "rows_in": 0,
                                 "triples_out": 0,
+                                "buckets": int(buckets),
                                 "status": "pruned",
                                 "ts": t_now,
                             }
@@ -288,6 +323,9 @@ def run_resumable(
                 "avg_tokens": float(avg_tok) if avg_tok is not None else None,
                 "avg_ttr_q4": int(ttr_q4) if ttr_q4 is not None else None,
                 "empty_turns": int(n_empty) if n_empty is not None else None,
+                # the bucket count this run partitioned under — the
+                # resume-time authority for buckets=None auto runs
+                "buckets": int(buckets),
                 "status": "done",
                 "ts": now,
             }

@@ -53,11 +53,39 @@ class Lexicon:
     canon_map: dict[str, str] | None = None
 
 
-def prepare_lexicon(terms: DataFrame) -> Lexicon:
+def prepare_lexicon(
+    terms: DataFrame, max_fused_surfaces: int = 2_000_000
+) -> Lexicon:
+    """Build the per-lexicon artifacts once.
+
+    ``max_fused_surfaces`` guards the driver: the fused extraction path
+    materializes the full (surface → term, id → canonical) dicts on the
+    driver and pickle-broadcasts them, which is right at ontology scale
+    (the reference parses whole ontologies driver-side,
+    import_go_obo.py:64-145) but would build multi-GB Python dicts for a
+    10M-surface lexicon. Above the threshold only the surface LIST (the
+    matcher's irreducible broadcast artifact) is collected and
+    ``surface_map``/``canon_map`` stay None, which routes
+    ``_assemble_triples`` to the broadcast-JOIN composition form
+    (link.link_mentions + canon.apply_canonical) — same triples, JVM-side
+    Tungsten-compact broadcast instead of Python dicts.
+    """
     dim = link.surface_dim(terms).cache()
+    n_surfaces = dim.count()
+    mapping = canon.connected_components(link.alt_id_edges(terms)).cache()
+    if n_surfaces > max_fused_surfaces:
+        import logging
+
+        logging.getLogger("kgflow").warning(
+            "lexicon has %d surfaces (> %d): fused driver-dict path disabled, "
+            "using broadcast-join linking",
+            n_surfaces,
+            max_fused_surfaces,
+        )
+        surfaces = [r.surface for r in dim.select("surface").collect()]
+        return Lexicon(surfaces=surfaces, dim=dim, mapping=mapping)
     dim_rows = dim.collect()
     surfaces = [r.surface for r in dim_rows]
-    mapping = canon.connected_components(link.alt_id_edges(terms)).cache()
     return Lexicon(
         surfaces=surfaces,
         dim=dim,

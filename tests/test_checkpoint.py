@@ -54,6 +54,45 @@ def test_changed_bucket_reprocessed(spark, transcripts, lexicon, tmp_path):
     assert rep.processed_buckets == 1
 
 
+def test_auto_bucket_count_deterministic(spark):
+    df = spark.range(100).select(F.col("id").cast("string").alias("conv_id"))
+    # 100 rows / 10 per bucket = 10 → next pow2 = 16
+    assert cp.auto_bucket_count(df, target_rows_per_bucket=10) == 16
+    # small inputs clamp to the floor — and 5% drift must not move it
+    assert cp.auto_bucket_count(df, target_rows_per_bucket=200_000) == 8
+    assert cp.auto_bucket_count(df.limit(95), target_rows_per_bucket=10) == 16
+
+
+def test_auto_buckets_resume_reuses_recorded_count(spark, transcripts, lexicon, tmp_path):
+    """buckets=None: a resumed run must reuse the ledger-recorded count
+    even when the input has grown enough to change the auto derivation —
+    a changed count would re-bucket every conversation and nothing on
+    disk would line up. Resume with grown input still equals fresh."""
+    from kgflow.plans import pipeline as P
+
+    terms, isa = lexicon
+    d = str(tmp_path / "auto")
+    # fresh auto run on the small input records its count (clamp floor 8
+    # here; the recorded value, not the derivation, is what resume uses)
+    cp.run_resumable(spark, transcripts, terms, isa, d, buckets=None)
+    led = cp.read_ledger(spark, d)
+    counts = {r.buckets for r in led.select("buckets").distinct().collect()}
+    assert counts == {8}
+    # grow the input: new conversations (new buckets' content changes)
+    grown = transcripts.unionByName(
+        transcripts.withColumn("conv_id", F.concat(F.lit("x-"), "conv_id"))
+    )
+    rep = cp.run_resumable(spark, transcripts=grown, terms=terms, isa_edges=isa, out_dir=d, buckets=None)
+    led2 = cp.read_ledger(spark, d)
+    counts2 = {r.buckets for r in led2.select("buckets").distinct().collect()}
+    assert counts2 == {8}  # recorded count reused, not re-derived
+    assert rep.skipped_buckets == 0 or rep.processed_buckets > 0
+    fresh = {
+        tuple(r) for r in P.build_triples(grown, terms, isa).collect()
+    }
+    assert _triple_set(spark, d) == fresh
+
+
 def test_ledger_lineage_counts(spark, transcripts, lexicon, tmp_path):
     terms, isa = lexicon
     d = str(tmp_path / "lin")

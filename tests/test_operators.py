@@ -303,3 +303,73 @@ def test_aho_corasick_extract_mentions_parity(spark):
     greedy = sorted(map(tuple, ex.extract_mentions(tr, surf, matcher="greedy").collect()))
     aho = sorted(map(tuple, ex.extract_mentions(tr, surf, matcher="aho").collect()))
     assert greedy == aho and len(greedy) == 2
+
+
+def test_aho_match_set_all_occurrences():
+    """match_set (the contamination-probe contract) detects every pattern
+    independently — nested and overlapping patterns that the greedy
+    segmentation would swallow must still be reported — and equals brute
+    token-subsequence containment on randomized inputs."""
+    import random
+
+    from kgflow.operators.extract import TokenAhoCorasick
+
+    ac = TokenAhoCorasick(["a b c", "b c", "c", "c d", "x"])
+    assert ac.match_set("a b c d") == {"a b c", "b c", "c", "c d"}
+    assert ac.match_set("") == set()
+    assert ac.match_set("q r s") == set()
+
+    def brute(text, pats):
+        toks = text.lower().split()
+        hits = set()
+        for p in pats:
+            pt = p.split()
+            L = len(pt)
+            if any(toks[i : i + L] == pt for i in range(len(toks) - L + 1)):
+                hits.add(p)
+        return hits
+
+    rng = random.Random(7)
+    alphabet = ["a", "b", "c", "ab", "bc"]
+    for _ in range(40):
+        pats = sorted(
+            {" ".join(rng.choices(alphabet, k=rng.randint(1, 4))) for _ in range(10)}
+        )
+        ac = TokenAhoCorasick(pats)
+        for _ in range(20):
+            text = " ".join(rng.choices(alphabet, k=rng.randint(0, 25)))
+            assert ac.match_set(text) == brute(text, pats), (pats, text)
+
+
+def test_contamination_probe_ac_matches_literal_token_form(spark, tmp_path):
+    """The AC probe query equals the one-scan token-boundary form (the
+    padded-contains expression the oracle uses) on a corpus with nested
+    probes and partial-token near-misses."""
+    import __spark_entry__ as entry
+    from kgflow.functions import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (0, "intro to spark sql engines", "a"),
+            (1, "pyspark sql near-miss: substring yes, token boundary no", "a"),
+            (2, "VECTOR  INDEX and vector index merge upsert", "b"),
+            (3, "the quick brown fox jumps", "b"),
+            (4, "", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.probe, r.n_docs)
+        for r in entry.q_contamination_probe_ac(spark, str(tmp_path)).collect()
+    }
+    padded = F.concat(F.lit(" "), tx.normalized_text("text"), F.lit(" "))
+    want = set()
+    for p in entry._PROBES:
+        n = docs.filter(padded.contains(f" {p} ")).count()
+        want.add((p, n))
+    assert got == want
+    # sanity: the nested/overlap cases actually exercised the contract
+    d = dict(got)
+    assert d["spark sql"] == 1  # doc 0 only — "pyspark sql" is a partial token
+    assert d["vector index"] == 1 and d["merge upsert"] == 1

@@ -127,3 +127,24 @@ def test_triples_prov_matches_plain(spark, transcripts, lexicon):
         transcripts, isa, pipeline.prepare_lexicon(terms)
     ).count()
     assert sum(r.n_obs for r in rows) == raw
+
+
+def test_lexicon_size_guard_routes_to_broadcast_join(spark, transcripts, lexicon):
+    """A lexicon whose surface count exceeds max_fused_surfaces must not
+    build driver-side dicts: prepare_lexicon leaves surface_map/canon_map
+    None, which routes _assemble_triples to the link.link_mentions
+    broadcast-join composition — and the triples are identical."""
+    terms, isa = lexicon
+    lex_fused = pipeline.prepare_lexicon(terms)
+    assert lex_fused.surface_map is not None  # small lexicon: fused path
+    lex_comp = pipeline.prepare_lexicon(terms, max_fused_surfaces=0)
+    assert lex_comp.surface_map is None and lex_comp.canon_map is None
+    fused = {
+        tuple(r)
+        for r in pipeline.build_triples(transcripts, terms, isa, lex=lex_fused).collect()
+    }
+    comp = {
+        tuple(r)
+        for r in pipeline.build_triples(transcripts, terms, isa, lex=lex_comp).collect()
+    }
+    assert fused == comp
