@@ -1654,6 +1654,23 @@ def q_contamination_probe_ac(spark, sf):
     )
 
 
+def q_bucket_quality_rollup(spark, sf):
+    """Quality-lineage rollup (A10 closure): the EXACT per-bucket
+    data-quality aggregate the resumable runner records in its ledger
+    (kgflow.plans.checkpoint.bucket_quality — avg token count,
+    scaled-integer TTR, empty-text count), applied to the documents
+    table under a deterministic SQL-portable bucketing (doc_id % 8; the
+    production runner buckets by conv-hash, which DuckDB can't
+    reproduce). One map-side-combining aggregate; exact integers except
+    two explicit 2dp/0dp rounds."""
+    from kgflow.plans import checkpoint as cp
+
+    d = _t(spark, sf, "documents").select(
+        (F.col("doc_id") % 8).cast("int").alias("bucket"), "text"
+    )
+    return cp.bucket_quality(d)
+
+
 def q_lexical_diversity(spark, sf):
     """Quality dimension: type-token ratio per source (distinct tokens /
     total tokens), scaled-integer exact so the aggregate is independent
@@ -1969,6 +1986,7 @@ _R3_QUERIES = {
 
 _R4_QUERIES = {
     "contamination_probe_ac": q_contamination_probe_ac,
+    "bucket_quality_rollup": q_bucket_quality_rollup,
 }
 
 
@@ -1983,6 +2001,24 @@ def _r4_oracles() -> dict[str, str]:
               CAST(SUM(CASE WHEN contains(' ' || {_NORM} || ' ', ' ' || p.probe || ' ')
                        THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
             FROM documents, p GROUP BY p.probe""",
+        "bucket_quality_rollup": r"""
+            WITH d AS (
+              SELECT CAST(doc_id % 8 AS INT) AS bucket, coalesce(text, '') AS t
+              FROM documents
+            ), q AS (
+              SELECT bucket,
+                len(regexp_split_to_array(lower(trim(t)), '\s+')) AS n_tok,
+                len(list_distinct(regexp_split_to_array(lower(trim(t)), '\s+'))) AS n_distinct,
+                CASE WHEN trim(t) = '' THEN 1 ELSE 0 END AS is_empty
+              FROM d
+            )
+            SELECT bucket,
+              round(AVG(n_tok), 2) AS avg_tokens,
+              CAST(round(AVG(CASE WHEN n_tok > 0
+                   THEN round(n_distinct * 10000.0 / n_tok, 0) END), 0) AS BIGINT)
+                AS avg_ttr_q4,
+              SUM(is_empty)::BIGINT AS empty_turns
+            FROM q GROUP BY bucket""",
     }
 
 

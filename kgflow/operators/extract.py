@@ -306,6 +306,83 @@ def extract_linked_mentions(
     )
 
 
+_GROUPED_OUT = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("term_ids", T.ArrayType(T.StringType()), False),
+        T.StructField("namespaces", T.ArrayType(T.StringType()), False),
+    ]
+)
+
+
+def extract_linked_terms_grouped(
+    transcripts: DataFrame,
+    surface_map: dict[str, tuple[str, str]],
+    canon_map: dict[str, str] | None = None,
+    matcher: str = "auto",
+) -> DataFrame:
+    """Fused extract + link + canon, GROUPED per turn: one output row per
+    input row with ≥1 mention, mentions as aligned parallel arrays
+    (multiplicity preserved — exploding ``arrays_zip(term_ids,
+    namespaces)`` reproduces ``extract_linked_mentions`` exactly, so
+    observation-count provenance is unchanged).
+
+    Why grouped: a transcript row IS one turn, so the per-turn term sets
+    the co-occurrence family needs are complete inside the batch loop —
+    keeping them grouped removes the ``groupBy(conv_id, turn_idx).
+    collect_set`` exchange (a full shuffle of the mention table, the
+    dominant post-fusion scaling loss measured round 3) from the
+    pipeline; pair expansion happens in-row on ``array_distinct``.
+    Contract: one input row per (conv_id, turn_idx) — the transcript
+    input hint's shape; duplicate turn rows would produce per-row
+    (not per-turn) co-occurrence sets downstream.
+    """
+    spark = transcripts.sparkSession
+    bc = spark.sparkContext.broadcast((surface_map, canon_map or {}))
+    if matcher == "auto":
+        matcher = "aho" if len(surface_map) > _AC_THRESHOLD else "greedy"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        smap, cmap = bc.value
+        keys = sorted(smap)
+        if matcher == "aho":
+            ac = TokenAhoCorasick(keys)
+            find = ac.find
+        else:
+            index = build_matcher(keys)
+
+            def find(text):
+                return find_mentions(text, index)
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "conv_id": [],
+                "turn_idx": [],
+                "term_ids": [],
+                "namespaces": [],
+            }
+            for conv, tidx, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+                if not isinstance(text, str) or not text:
+                    continue
+                tids: list[str] = []
+                nss: list[str] = []
+                for surface, _s, _e in find(text):
+                    tid, ns = smap[surface]
+                    tids.append(cmap.get(tid, tid))
+                    nss.append(ns)
+                if tids:
+                    rows["conv_id"].append(conv)
+                    rows["turn_idx"].append(int(tidx))
+                    rows["term_ids"].append(tids)
+                    rows["namespaces"].append(nss)
+            yield pd.DataFrame(rows)
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        run, schema=_GROUPED_OUT
+    )
+
+
 def hash_embedding(
     df: DataFrame,
     text_col: str = "text",

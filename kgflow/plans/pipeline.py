@@ -135,12 +135,32 @@ def _assemble_triples(
 
     if lex.surface_map is not None:
         # fused path: linking + canonical rewrite ride the extraction
-        # batch loop (extract.extract_linked_mentions) — no second pass
-        # over the mention table, and the checkpoint below holds only
-        # the 4 columns downstream actually reads
-        linked = extract.extract_linked_mentions(
+        # batch loop, GROUPED per turn (extract.extract_linked_terms_
+        # grouped) — no second pass over the mention table, the
+        # checkpoint holds one compact array row per turn, and the
+        # per-turn term sets for co-occurrence come straight off the
+        # arrays (no groupBy shuffle — see per_turn_sets below).
+        grouped = extract.extract_linked_terms_grouped(
             transcripts, lex.surface_map, lex.canon_map
         ).localCheckpoint(eager=True)
+        # exploding the zipped arrays reproduces extract_linked_mentions
+        # exactly (multiplicity preserved → n_obs provenance unchanged);
+        # the explode is narrow JVM work, no exchange
+        linked = grouped.select(
+            "conv_id",
+            "turn_idx",
+            F.explode(F.arrays_zip("term_ids", "namespaces")).alias("_m"),
+        ).select(
+            "conv_id",
+            "turn_idx",
+            F.col("_m.term_ids").alias("term_id"),
+            F.col("_m.namespaces").alias("namespace"),
+        )
+        per_turn_sets = grouped.select(
+            "conv_id",
+            "turn_idx",
+            F.array_sort(F.array_distinct("term_ids")).alias("ts"),
+        )
     else:
         # operator-composition form (kept for Lexicons built without
         # driver-side maps): broadcast-join linking + canonical rewrite
@@ -148,6 +168,11 @@ def _assemble_triples(
         linked = link.link_mentions(mentions, lex.dim)
         linked = canon.apply_canonical(linked, mapping, ["term_id"]).localCheckpoint(
             eager=True
+        )
+        # one shuffle to assemble per-turn term sets (the fused path
+        # gets these for free from the grouped extraction)
+        per_turn_sets = linked.groupBy("conv_id", "turn_idx").agg(
+            F.sort_array(F.collect_set("term_id")).alias("ts")
         )
 
     turn_uri = F.concat(F.lit("turn:"), "conv_id", F.lit(":"), F.col("turn_idx"))
@@ -170,15 +195,12 @@ def _assemble_triples(
         F.lit("conv_ns").alias("family"),
     )
 
-    # within-turn co-occurrence. NOT a self-join: collect the turn's
-    # distinct terms (one shuffle, reusing the turn key) and generate
-    # ordered pairs in-row — per-turn term counts are small, so the pair
-    # expansion is cheap and the 2 extra shuffles of a self-join are
-    # avoided. Pair order from the sorted array gives least/greatest
-    # canonical form for free (J6/C5).
-    per_turn_sets = linked.groupBy("conv_id", "turn_idx").agg(
-        F.sort_array(F.collect_set("term_id")).alias("ts")
-    )
+    # within-turn co-occurrence. NOT a self-join: per-turn distinct term
+    # sets (zero-shuffle on the fused path, one groupBy on the
+    # composition path — built above) expand to ordered pairs in-row —
+    # per-turn term counts are small, so the pair expansion is cheap.
+    # Pair order from the sorted array gives least/greatest canonical
+    # form for free (J6/C5).
     pairs = F.flatten(
         F.transform(
             F.col("ts"),

@@ -43,18 +43,20 @@ def timed(fn):
 
 out = {"cores": cores}
 
-# stage 1: fused mention extraction + linking + canonical rewrite
-# (round 3: the separate broadcast-join linking stage was the worst
-# scaler — ~24 CPU-s at 4c vs 64+ CPU-s at 16c of pure re-materialize
-# traffic on 29M mentions — so the dimension lookup now rides the
-# extraction batch loop; see extract.extract_linked_mentions)
-linked = extract.extract_linked_mentions(tr, lex.surface_map, lex.canon_map)
-out["extract_link_canon"] = timed(lambda: linked.count())
-l_ck = linked.localCheckpoint(eager=True)
+# stage 1: fused mention extraction + linking + canonical rewrite,
+# grouped per turn (round 3 fused the dimension lookups into the batch
+# loop; round 4 keeps mentions grouped per input row so the per-turn
+# term sets need no groupBy downstream)
+grouped = extract.extract_linked_terms_grouped(tr, lex.surface_map, lex.canon_map)
+out["extract_link_canon"] = timed(lambda: grouped.count())
+g_ck = grouped.localCheckpoint(eager=True)
 
-# stage 3: co-occurrence (collect_set shuffle + in-row pairs)
-per_turn = l_ck.groupBy("conv_id", "turn_idx").agg(
-    F.sort_array(F.collect_set("term_id")).alias("ts"))
+# stage 3: co-occurrence — in-row distinct + pair expansion straight
+# off the grouped arrays (round 3's collect_set SHUFFLE is gone; this
+# stage is now narrow JVM work end to end)
+per_turn = g_ck.select(
+    "conv_id", "turn_idx",
+    F.array_sort(F.array_distinct("term_ids")).alias("ts"))
 pairs = F.flatten(F.transform(F.col("ts"), lambda x, i: F.transform(
     F.slice(F.col("ts"), i + 2, F.size(F.col("ts"))),
     lambda y: F.struct(x.alias("a"), y.alias("b")))))
