@@ -376,7 +376,17 @@ def extract_linked_terms_grouped(
                     rows["turn_idx"].append(int(tidx))
                     rows["term_ids"].append(tids)
                     rows["namespaces"].append(nss)
-            yield pd.DataFrame(rows)
+            # object dtype for the array columns: an EMPTY batch would
+            # otherwise default them to float64, which Arrow cannot
+            # convert to list<string>
+            yield pd.DataFrame(
+                {
+                    "conv_id": pd.Series(rows["conv_id"], dtype="object"),
+                    "turn_idx": pd.Series(rows["turn_idx"], dtype="int64"),
+                    "term_ids": pd.Series(rows["term_ids"], dtype="object"),
+                    "namespaces": pd.Series(rows["namespaces"], dtype="object"),
+                }
+            )
 
     return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
         run, schema=_GROUPED_OUT

@@ -149,6 +149,61 @@ def incremental_extract_prov(
     return batches["n"]
 
 
+def incremental_doc_stats(
+    spark: SparkSession, input_dir: str, out_dir: str
+) -> int:
+    """Streaming maintenance of the per-document quality table: each
+    availableNow drain computes fingerprint / token count / quality /
+    language for exactly the NEW document files and upserts them into a
+    keyed snapshot (``materialize.upsert``, one row per doc_id, latest
+    wins) — the incremental twin of the batch ``doc_fingerprint`` /
+    ``text_stats`` / ``quality_score`` queries, mirroring the
+    reference's polled NULL-property work queue
+    (``neo4j_pubmed_batch_embeddings_processor.py:495-506``) without
+    polling. Unlike the additive provenance merge, a keyed latest-wins
+    upsert is NATURALLY replay-idempotent: re-merging a replayed batch
+    rewrites identical rows, so no batch-id guard is needed. Returns
+    micro-batches processed.
+    """
+    from ..functions import text as tx
+    from ..plans import materialize as mat
+
+    schema = spark.read.parquet(input_dir).schema
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    batches = {"n": 0}
+    t = F.coalesce(F.col("text"), F.lit(""))
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batches["n"] += 1
+        stats = batch_df.select(
+            "doc_id",
+            "source",
+            tx.fingerprint(t).alias("fingerprint"),
+            tx.token_count(t).alias("n_tokens"),
+            tx.quality_score(t).alias("quality"),
+            tx.lang_guess(t).alias("lang_guess"),
+        )
+        mat.upsert(stats, os.path.join(out_dir, "doc_stats"), keys=["doc_id"])
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option(
+            "checkpointLocation", os.path.join(out_dir, "_doc_stats_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return batches["n"]
+
+
+def read_doc_stats(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    from ..plans import materialize as mat
+
+    t = mat.read_table(spark, os.path.join(out_dir, "doc_stats"))
+    return None if t is None else t.drop("_batch_seq")
+
+
 def read_prov_triples(spark: SparkSession, out_dir: str) -> DataFrame | None:
     from ..plans import materialize as mat
 

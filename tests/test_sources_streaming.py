@@ -231,3 +231,48 @@ def test_incremental_prov_replay_idempotent(spark, transcripts, lexicon, tmp_pat
         for r in incremental.read_prov_triples(spark, out_dir).collect()
     }
     assert after == before
+
+
+def test_incremental_doc_stats(spark, tmp_path):
+    """Two document drops drained incrementally == one batch pass over
+    the full corpus; a checkpoint-loss replay leaves the keyed snapshot
+    unchanged (latest-wins upsert is naturally replay-idempotent)."""
+    import shutil
+
+    from kgflow.functions import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox", "en", "web", 19),
+            (1, "der hund und die katze ist", "de", "web", 26),
+            (2, None, "en", "web", 0),
+            (3, "one two three four five six seven", "en", "book", 33),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    in_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "out")
+    docs.filter("doc_id < 2").write.mode("append").parquet(in_dir)
+    assert incremental.incremental_doc_stats(spark, in_dir, out_dir) >= 1
+    docs.filter("doc_id >= 2").write.mode("append").parquet(in_dir)
+    incremental.incremental_doc_stats(spark, in_dir, out_dir)
+
+    got = {tuple(r) for r in incremental.read_doc_stats(spark, out_dir).collect()}
+    t = F.coalesce(F.col("text"), F.lit(""))
+    want = {
+        tuple(r)
+        for r in docs.select(
+            "doc_id",
+            "source",
+            tx.fingerprint(t).alias("fingerprint"),
+            tx.token_count(t).alias("n_tokens"),
+            tx.quality_score(t).alias("quality"),
+            tx.lang_guess(t).alias("lang_guess"),
+        ).collect()
+    }
+    assert got == want
+    # worst-case replay: lose the checkpoint, re-drain everything
+    shutil.rmtree(tmp_path / "out" / "_doc_stats_checkpoint")
+    incremental.incremental_doc_stats(spark, in_dir, out_dir)
+    again = {tuple(r) for r in incremental.read_doc_stats(spark, out_dir).collect()}
+    assert again == got
