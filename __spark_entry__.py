@@ -1671,6 +1671,42 @@ def q_bucket_quality_rollup(spark, sf):
     return cp.bucket_quality(d)
 
 
+_STRAT_RATES = {"src0": 0.2, "src1": 0.8}
+_STRAT_DEFAULT = 0.5
+
+
+def q_stratified_sample(spark, sf):
+    """Deterministic stratified sampling (training-mix construction):
+    per-source keep rates decided by a pure md5(salt|id) threshold —
+    reproducible across runs, engines and cluster sizes, one narrow
+    scan, no RNG state. kgflow.operators.sample.stratified_hash_sample."""
+    from kgflow.operators import sample
+
+    d = _t(spark, sf, "documents")
+    return sample.stratified_hash_sample(
+        d, _STRAT_RATES, default_rate=_STRAT_DEFAULT
+    ).select("doc_id", "source")
+
+
+def q_pack_sequences(spark, sf):
+    """Sequence packing (pretraining loader shape): per source stream,
+    docs in doc_id order are virtually concatenated and cut every 512
+    tokens; bin_id/bin_offset come from one exclusive-prefix-sum window
+    — kgflow.operators.sample.pack_sequences."""
+    from kgflow.operators import sample
+
+    return sample.pack_sequences(_t(spark, sf, "documents"), budget=512)
+
+
+def q_dedup_cluster_assign(spark, sf):
+    """The full dedup composition: LSH candidates → exact Jaccard
+    verify (scaled-integer threshold) → connected components over the
+    verified pair graph (near-duplication is not transitive — A≈B≈C
+    clusters A,C together) → min-id representative, assigned back to
+    every document. kgflow.operators.dedup.dedup_clusters."""
+    return dedup.dedup_clusters(_t(spark, sf, "documents"))
+
+
 def q_lexical_diversity(spark, sf):
     """Quality dimension: type-token ratio per source (distinct tokens /
     total tokens), scaled-integer exact so the aggregate is independent
@@ -1987,6 +2023,9 @@ _R3_QUERIES = {
 _R4_QUERIES = {
     "contamination_probe_ac": q_contamination_probe_ac,
     "bucket_quality_rollup": q_bucket_quality_rollup,
+    "stratified_sample": q_stratified_sample,
+    "pack_sequences": q_pack_sequences,
+    "dedup_cluster_assign": q_dedup_cluster_assign,
 }
 
 
@@ -2019,6 +2058,59 @@ def _r4_oracles() -> dict[str, str]:
                 AS avg_ttr_q4,
               SUM(is_empty)::BIGINT AS empty_turns
             FROM q GROUP BY bucket""",
+        # md5-threshold sampling: first 8 hex chars parse identically on
+        # both engines; CASE mirrors stratified_hash_sample's rate map
+        "stratified_sample": f"""
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                CAST(('0x' || substr(md5('kgflow|' || doc_id), 1, 8)) AS BIGINT) AS h,
+                CASE source
+                  WHEN 'src0' THEN {int(_STRAT_RATES["src0"] * (1 << 32))}
+                  WHEN 'src1' THEN {int(_STRAT_RATES["src1"] * (1 << 32))}
+                  ELSE {int(_STRAT_DEFAULT * (1 << 32))} END AS thr
+              FROM documents)
+            WHERE h < thr""",
+        "pack_sequences": f"""
+            WITH d AS (
+              SELECT source, doc_id,
+                len({_TOKS}) AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT source, doc_id, n_tokens,
+                coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+              FROM d)
+            SELECT source, doc_id, n_tokens,
+              CAST(floor(cum / 512.0) AS BIGINT) AS bin_id,
+              CAST(cum % 512 AS BIGINT) AS bin_offset
+            FROM c""",
+        # transitive closure over the verified pair graph via recursive
+        # CTE (pair graphs are tiny at oracle scale); min reachable id
+        # = the cluster representative, exactly connected_components
+        "dedup_cluster_assign": _minhash_cte().replace(
+            "WITH toks", "WITH RECURSIVE toks", 1
+        )
+        + """
+            , verified AS (
+              SELECT p.id_a, p.id_b FROM pairs p
+              JOIN sh a ON a.doc_id = p.id_a
+              JOIN sh b ON b.doc_id = p.id_b
+              WHERE len(list_intersect(a.shingles, b.shingles)) * 100 >=
+                    len(list_distinct(list_concat(a.shingles, b.shingles))) * 50
+            ), und AS (
+              SELECT id_a AS u, id_b AS v FROM verified
+              UNION SELECT id_b AS u, id_a AS v FROM verified
+            ), reach(u, l) AS (
+              SELECT u, u FROM und
+              UNION
+              SELECT und.u, reach.l FROM und JOIN reach ON reach.u = und.v
+            ), comp AS (
+              SELECT u AS id, MIN(l) AS rep FROM reach GROUP BY u
+            )
+            SELECT d.doc_id,
+              coalesce(c.rep, d.doc_id) AS cluster_rep,
+              coalesce(c.rep, d.doc_id) = d.doc_id AS is_rep
+            FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""",
     }
 
 

@@ -216,6 +216,61 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def dedup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard_pct: int = 50,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    max_bucket: int | None = 500,
+) -> DataFrame:
+    """Transitive near-duplicate CLUSTERS with a kept representative —
+    the full dedup composition a corpus-curation pipeline actually
+    runs: LSH candidate pairs → exact Jaccard verify → connected
+    components over the verified pair graph (near-duplication is not
+    transitive, so A≈B and B≈C put A,C in one cluster even when A,C
+    themselves differ — the grouping every production dedup uses) →
+    min-id representative per cluster.
+
+    Returns one row per input document: (id, cluster_rep, is_rep).
+    Keep-filtering the corpus is ``.filter("is_rep")``.
+
+    ``min_jaccard_pct`` compares scaled INTEGERS (inter·100 ≥
+    union·pct) — exact, no float threshold drift across engines.
+
+    Scale shape: the pair tiers are bucketed/candidate-only (see module
+    docstring); the component step runs on the PAIR graph (orders of
+    magnitude smaller than the corpus — only docs with a verified
+    near-dup appear), and the final assignment is a broadcast join of
+    that dimension-scale mapping against the corpus ids.
+    """
+    from .canon import connected_components
+
+    pairs = minhash_lsh_pairs(
+        docs, id_col, text_col, num_hashes, band_size, shingle_n, max_bucket
+    )
+    verified = (
+        jaccard_verify(docs, pairs, id_col, text_col, shingle_n)
+        .filter(F.col("inter_size") * 100 >= F.col("union_size") * min_jaccard_pct)
+        .select("id_a", "id_b")
+    )
+    mapping = connected_components(verified, src="id_a", dst="id_b")
+    m = mapping.select(
+        F.col("id").alias("_mid"), F.col("canonical_id").alias("_rep")
+    )
+    out = (
+        docs.select(id_col)
+        .join(F.broadcast(m), F.col(id_col) == F.col("_mid"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("_rep", F.col(id_col)).alias("cluster_rep"),
+        )
+    )
+    return out.withColumn("is_rep", F.col("cluster_rep") == F.col(id_col))
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     id_col: str = "vec_id",

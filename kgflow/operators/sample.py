@@ -1,0 +1,128 @@
+"""Corpus sampling and sequence packing for training-data pipelines.
+
+The reference's data-mining scripts subset their inputs imperatively
+(driver-side batch loops with LIMIT,
+``neo4j_pubmed_batch_embeddings_processor.py:495-506``); a training-data
+pipeline needs the declarative, scale-safe forms:
+
+* **deterministic hash sampling** — membership decided by a pure
+  function of (salt, id), so the sample is reproducible across runs,
+  engines and cluster sizes, composes with resume (a re-run keeps the
+  same sample), and needs no RNG state. md5 is the hash family so a
+  DuckDB oracle reproduces every decision bit-for-bit.
+* **stratified rates** — a per-stratum rate map (e.g. up-sample books,
+  down-sample web) applied in the same single narrow scan.
+* **sequence packing** — the standard pretraining pack: within each
+  stream, documents in a deterministic order are concatenated and cut
+  into fixed token budgets; the bin id is a running-sum window, one
+  shuffle per stream shard.
+
+Everything here is built-in-function only — narrow maps plus one window
+shuffle for packing; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# 8 md5 hex chars = 32 bits of uniform hash — rate granularity 2^-32
+_HASH_SPACE = 1 << 32
+
+
+def hash_keep(id_col: Column | str, rate: float, salt: str = "kgflow") -> Column:
+    """Boolean sampling predicate: keep iff the first 32 bits of
+    md5(salt|id) fall below rate·2³². Pure, portable, uniform."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), c.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return h < F.lit(int(rate * _HASH_SPACE))
+
+
+def hash_sample(
+    docs: DataFrame, rate: float, id_col: str = "doc_id", salt: str = "kgflow"
+) -> DataFrame:
+    """Uniform deterministic sample: one narrow filter, no shuffle."""
+    return docs.filter(hash_keep(id_col, rate, salt))
+
+
+def stratified_hash_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+    salt: str = "kgflow",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (training-mix construction):
+    ``rates`` maps stratum value → keep fraction; unlisted strata keep
+    ``default_rate``. Same single narrow scan as the uniform form — the
+    stratum only selects which threshold the row's hash is compared to,
+    so skewed strata cost nothing extra."""
+    c = F.col(id_col)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), c.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    thr: Column = F.lit(int(default_rate * _HASH_SPACE))
+    for k, v in sorted(rates.items()):
+        thr = F.when(F.col(strat_col) == k, F.lit(int(v * _HASH_SPACE))).otherwise(thr)
+    return docs.filter(h < thr)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stream_cols: list[str] | None = None,
+    n_tokens_col: str | None = None,
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget pack (context
+    window): within each stream (``stream_cols``, default ["source"]),
+    documents in deterministic ``id_col`` order are virtually
+    concatenated and cut every ``budget`` tokens — ``bin_id`` =
+    exclusive-prefix-sum(tokens) ÷ budget, the standard sequential
+    packing rule of pretraining loaders. Returns the input keys plus
+    (n_tokens, bin_id, bin_offset), where bin_offset is the document's
+    token start inside its bin.
+
+    Scale shape: ONE window shuffle per stream. Streams are the
+    parallelism unit — at 100 TB pass an additional hash-shard column
+    in ``stream_cols`` (e.g. pmod(xxhash64(id), K)) so no single
+    stream serializes the sort; packs then interleave shards, which is
+    exactly what a shuffled training loader wants.
+
+    ``n_tokens_col``: use a precomputed token-count column instead of
+    whitespace-counting ``text_col`` (e.g. real tokenizer counts from
+    the doc-stats table).
+    """
+    from ..functions import text as tx
+
+    streams = stream_cols or ["source"]
+    if n_tokens_col is None:
+        d = docs.select(
+            *streams, F.col(id_col), tx.token_count(text_col).alias("n_tokens")
+        )
+    else:
+        d = docs.select(
+            *streams, F.col(id_col), F.col(n_tokens_col).alias("n_tokens")
+        )
+    w = (
+        Window.partitionBy(*streams)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        *streams,
+        id_col,
+        "n_tokens",
+        F.floor(cum / budget).cast("long").alias("bin_id"),
+        (cum % budget).cast("long").alias("bin_offset"),
+    )

@@ -305,6 +305,83 @@ def test_aho_corasick_extract_mentions_parity(spark):
     assert greedy == aho and len(greedy) == 2
 
 
+def test_hash_sample_deterministic_rate_and_salt(spark):
+    from kgflow.operators import sample
+
+    docs = spark.range(8000).select(F.col("id").alias("doc_id"))
+    s1 = {r.doc_id for r in sample.hash_sample(docs, 0.25).collect()}
+    s2 = {r.doc_id for r in sample.hash_sample(docs, 0.25).collect()}
+    assert s1 == s2  # pure function of (salt, id): reproducible
+    assert 0.2 < len(s1) / 8000 < 0.3  # uniform near the target rate
+    s3 = {r.doc_id for r in sample.hash_sample(docs, 0.25, salt="other").collect()}
+    assert s3 != s1  # salt rotates the sample
+    # nested property: a higher-rate sample contains the lower-rate one
+    s4 = {r.doc_id for r in sample.hash_sample(docs, 0.5).collect()}
+    assert s1 <= s4
+
+
+def test_stratified_hash_sample_rates(spark):
+    from kgflow.operators import sample
+
+    docs = spark.range(6000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"),
+    )
+    out = sample.stratified_hash_sample(docs, {"a": 0.1, "b": 0.9})
+    counts = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert 0.05 < counts["a"] / 3000 < 0.15
+    assert 0.85 < counts["b"] / 3000 < 0.95
+
+
+def test_pack_sequences_budget_semantics(spark):
+    from kgflow.operators import sample
+
+    docs = spark.createDataFrame(
+        [
+            # source s: tokens 3, 4, 5 — budget 6 → cum 0,3,7
+            (1, "a b c", "s"),
+            (2, "d e f g", "s"),
+            (3, "h i j k l", "s"),
+            (4, "one two", "t"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.doc_id: (r.bin_id, r.bin_offset, r.n_tokens)
+        for r in sample.pack_sequences(docs, budget=6).collect()
+    }
+    assert got == {
+        1: (0, 0, 3),
+        2: (0, 3, 4),  # starts inside bin 0 (offset 3), spans into bin 1
+        3: (1, 1, 5),  # cum=7 → bin 1, offset 1
+        4: (0, 0, 2),  # independent stream
+    }
+
+
+def test_dedup_clusters_transitive(spark):
+    """A≈B and B≈C cluster A,B,C together even though A vs C alone are
+    below threshold (near-duplication is not transitive); representative
+    is the min id; unrelated docs are their own singleton reps."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (10, base),
+            (11, base + " extra1"),            # ≈ 10
+            (12, base + " extra1 extra2 x y"),  # ≈ 11, farther from 10
+            (50, "completely different text about something else entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.cluster_rep, r.is_rep)
+        for r in dedup.dedup_clusters(docs, min_jaccard_pct=50).collect()
+    }
+    assert got[10] == (10, True)
+    assert got[11] == (10, False)
+    assert got[12] == (10, False)
+    assert got[50] == (50, True)
+
+
 def test_aho_match_set_all_occurrences():
     """match_set (the contamination-probe contract) detects every pattern
     independently — nested and overlapping patterns that the greedy
