@@ -355,6 +355,67 @@ def connected_components(
     return out
 
 
+def update_components(
+    mapping: DataFrame,
+    new_edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    **cc_kwargs,
+) -> DataFrame:
+    """Incrementally maintain a ``connected_components`` mapping under
+    edge ADDITIONS — the streaming form of entity consolidation (new
+    same-as links arrive with each ontology drop; recomputing the full
+    component structure per drop is the reference's per-MERGE idiom at
+    its worst).
+
+    Algorithm: rewrite the new edges through the existing (id →
+    canonical) mapping, so each new edge connects two existing
+    CANONICAL labels (or brand-new ids); run CC on that rewritten edge
+    set — which is |new edges|-sized, not corpus-sized — then compose:
+    an old row whose canonical was itself merged follows the delta
+    mapping one hop (canonical labels map directly to their new root —
+    no chains, because the delta mapping is itself fully resolved).
+    New ids absent from the old mapping enter with their delta
+    assignment. Equivalence with a from-scratch run holds exactly
+    because components only ever GROW under additions (no retractions).
+
+    Scale shape: two broadcast-sized joins against the delta (the delta
+    mapping covers only ids touched by new edges) plus the CC run on
+    the rewritten new-edge graph.
+    """
+    # NOTE join sides: the new-edge set is the small side, the mapping
+    # is corpus-scale — never broadcast the mapping (AQE picks the
+    # strategy; on a real deployment the mapping table is bucketed by
+    # id so these are co-located joins). Only the DELTA mapping below
+    # is guaranteed small enough to broadcast.
+    e = new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    m_a = mapping.select(F.col("id").alias("_ia"), F.col("canonical_id").alias("_ca"))
+    m_b = mapping.select(F.col("id").alias("_ib"), F.col("canonical_id").alias("_cb"))
+    rewritten = (
+        e.join(m_a, e["a"] == m_a["_ia"], "left")
+        .join(m_b, e["b"] == m_b["_ib"], "left")
+        .select(
+            F.coalesce("_ca", "a").alias("id_a"),
+            F.coalesce("_cb", "b").alias("id_b"),
+        )
+    )
+    delta = connected_components(rewritten, **cc_kwargs)
+    d = delta.select(F.col("id").alias("_f"), F.col("canonical_id").alias("_t"))
+    # old rows: follow the delta one hop (old canonicals are delta
+    # DOMAIN members when touched; delta values are final roots)
+    updated_old = (
+        mapping.join(F.broadcast(d), mapping["canonical_id"] == d["_f"], "left")
+        .select("id", F.coalesce("_t", "canonical_id").alias("canonical_id"))
+    )
+    # delta rows for ids the old mapping has never seen
+    new_rows = delta.join(
+        mapping.select(F.col("id").alias("_oid")),
+        delta["id"] == F.col("_oid"),
+        "left_anti",
+    ).select("id", "canonical_id")
+    return updated_old.unionByName(new_rows)
+
+
 def apply_canonical(
     df: DataFrame, mapping: DataFrame, cols: list[str]
 ) -> DataFrame:

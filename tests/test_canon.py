@@ -78,6 +78,61 @@ def test_resolve_spill_dir_prefers_cluster_visible(spark):
     assert "kgflow_cc_" in p2
 
 
+def test_update_components_equals_scratch(spark):
+    """Incremental maintenance == from-scratch CC on the union, across
+    the interesting cases: component merge via a bridge edge, brand-new
+    component, new node with a smaller id taking over as root, and an
+    untouched component staying untouched."""
+    base = spark.createDataFrame(
+        [("b", "c"), ("x", "y"), ("p", "q")], "id_a string, id_b string"
+    )
+    m0 = canon.connected_components(base)
+    new = spark.createDataFrame(
+        # bridge b..x components; brand-new (u,v); 'a' < 'b' takes over
+        [("c", "x"), ("u", "v"), ("a", "b")],
+        "id_a string, id_b string",
+    )
+    got = {
+        (r.id, r.canonical_id)
+        for r in canon.update_components(m0, new).collect()
+    }
+    want = {
+        (r.id, r.canonical_id)
+        for r in canon.connected_components(base.unionByName(new)).collect()
+    }
+    assert got == want
+    assert ("p", "p") in got and ("q", "p") in got  # untouched component
+
+
+def test_update_components_randomized(spark):
+    """Randomized splits: any partition of an edge set into base+delta
+    yields the same mapping as one-shot CC on the whole set."""
+    import random
+
+    rng = random.Random(31)
+    for _ in range(5):
+        edges = list(
+            {
+                (f"n{rng.randint(0, 20):02d}", f"n{rng.randint(0, 20):02d}")
+                for _ in range(18)
+            }
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        if len(edges) < 4:
+            continue
+        cut = rng.randint(1, len(edges) - 1)
+        mk = lambda rows: spark.createDataFrame(rows, "id_a string, id_b string")
+        m0 = canon.connected_components(mk(edges[:cut]))
+        got = {
+            tuple(r)
+            for r in canon.update_components(m0, mk(edges[cut:])).collect()
+        }
+        want = {
+            tuple(r) for r in canon.connected_components(mk(edges)).collect()
+        }
+        assert got == want, (edges, cut)
+
+
 def test_canonical_pairs(spark):
     df = spark.createDataFrame(
         [("b", "a"), ("a", "b"), ("a", "a"), ("c", "b")], "x string, y string"

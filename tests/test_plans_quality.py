@@ -71,6 +71,33 @@ def test_topk_uses_window_group_limit(spark, entrymod):
     assert "WindowGroupLimit" in plan
 
 
+def test_stratified_sample_is_narrow_scan(spark, entrymod):
+    """The md5-threshold sample must be a pure filter over the scan —
+    no Exchange, no join; and the scan must prune to the 2 projected
+    columns (the hash is computed from doc_id alone)."""
+    plan = _plan(entrymod.queries()["stratified_sample"](spark, SF))
+    assert "Exchange" not in plan and "Join" not in plan
+    read = plan.split("ReadSchema")[1][:200]
+    assert "text" not in read  # text is never read for sampling
+
+
+def test_pack_sequences_single_window_exchange(spark, entrymod):
+    """Packing is ONE hash exchange (the per-stream window) — the
+    running sum must not add extra shuffles."""
+    plan = _plan(entrymod.queries()["pack_sequences"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_dedup_cluster_assign_broadcasts_mapping(spark, entrymod):
+    """The cluster-assignment join against the (dimension-scale) CC
+    mapping must broadcast, never cartesian."""
+    plan = _plan(entrymod.queries()["dedup_cluster_assign"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_doc_parse_prunes_json_fields(spark, entrymod):
     """doc_parse_fields extracts 3 of 5 record fields; Catalyst's
     OptimizeJsonExprs + pruning keeps authors/mesh out of the parse."""

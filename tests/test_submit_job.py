@@ -61,3 +61,47 @@ def test_kg_job_via_spark_submit(tmp_path):
         t.columns
     )
     assert (t["first_seen_run"] == "submit-test").all()
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_doc_stats_job_via_spark_submit(tmp_path, spark):
+    """The --doc-stats mode (incremental streaming maintenance) runs
+    under real spark-submit too."""
+    zip_path = str(tmp_path / "kgflow.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        pkg = os.path.join(REPO, "kgflow")
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, REPO))
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"text number {i} with tokens", "en", "web", 20) for i in range(50)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(docs_dir)
+    out = str(tmp_path / "stats_out")
+    env = dict(os.environ)
+    env["PYSPARK_PYTHON"] = "/root/.pyenv/shims/python3"
+    env.pop("PYTHONPATH", None)
+    res = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[4]",
+            "--py-files", zip_path,
+            os.path.join(REPO, "tools", "kg_job.py"),
+            "--doc-stats",
+            "--docs", docs_dir,
+            "--out", out,
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=420,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    summary = json.loads(
+        [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert summary["mode"] == "doc_stats"
+    assert summary["docs_tracked"] == 50

@@ -22,6 +22,9 @@ Modes
                   re-submit after a failure, finished buckets skip
 * --prov          emit per-triple provenance props (family, n_obs,
                   n_convs, first_seen_run) instead of the bare triple set
+* --doc-stats     documents-table mode: incremental per-doc
+                  fingerprint/token/quality/language maintenance
+                  (streaming.incremental_doc_stats over --docs)
 * --synth-turns N no --transcripts/--terms given: deterministic
                   synthetic input (smoke-testing a new cluster)
 
@@ -51,6 +54,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--synth-turns", type=int, default=0, help="synthesize N turns instead of reading --transcripts")
     ap.add_argument("--synth-terms", type=int, default=300, help="synthetic lexicon size")
     ap.add_argument("--run-id", default=None, help="provenance run id (default: timestamp)")
+    ap.add_argument("--doc-stats", action="store_true", help="incremental doc-stats maintenance over --docs")
+    ap.add_argument("--docs", help="parquet dir of documents (doc_stats mode)")
     args = ap.parse_args(argv)
 
     from kgflow.session import get_spark
@@ -58,6 +63,23 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("kgflow-job", master="")
     t0 = time.time()
+
+    if args.doc_stats:
+        if not args.docs:
+            ap.error("--docs required with --doc-stats")
+        from kgflow.streaming import incremental
+
+        n = incremental.incremental_doc_stats(spark, args.docs, args.out)
+        stats = incremental.read_doc_stats(spark, args.out)
+        summary = {
+            "mode": "doc_stats",
+            "batches": n,
+            "docs_tracked": stats.count() if stats is not None else 0,
+            "wall_sec": round(time.time() - t0, 2),
+        }
+        print(json.dumps(summary))
+        spark.stop()
+        return 0
 
     if args.synth_turns:
         from kgflow import synth
