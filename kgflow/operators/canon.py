@@ -55,7 +55,7 @@ def dedup_keep_first(df: DataFrame, keys: list[str], order_by: list) -> DataFram
     )
 
 
-def _union_find_map(rows, find_cache: dict | None = None) -> dict:
+def _union_find_map(rows) -> dict:
     """Driver-side union-find over (a, b) edge rows; returns the full
     (member -> min-of-component) map. Union-by-value (larger root links
     under smaller root) guarantees every root is the component minimum."""

@@ -31,16 +31,22 @@ from pyspark.sql.window import Window
 _HASH_SPACE = 1 << 32
 
 
-def hash_keep(id_col: Column | str, rate: float, salt: str = "kgflow") -> Column:
-    """Boolean sampling predicate: keep iff the first 32 bits of
-    md5(salt|id) fall below rate·2³². Pure, portable, uniform."""
+def _hash32(id_col: Column | str, salt: str) -> Column:
+    """First 32 bits of md5(salt|id) as a long — the ONE hash behind
+    every sampling decision here, shared so uniform and stratified
+    sampling can never desynchronize."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    h = F.conv(
+    return F.conv(
         F.substring(F.md5(F.concat(F.lit(salt + "|"), c.cast("string"))), 1, 8),
         16,
         10,
     ).cast("long")
-    return h < F.lit(int(rate * _HASH_SPACE))
+
+
+def hash_keep(id_col: Column | str, rate: float, salt: str = "kgflow") -> Column:
+    """Boolean sampling predicate: keep iff the first 32 bits of
+    md5(salt|id) fall below rate·2³². Pure, portable, uniform."""
+    return _hash32(id_col, salt) < F.lit(int(rate * _HASH_SPACE))
 
 
 def hash_sample(
@@ -63,12 +69,7 @@ def stratified_hash_sample(
     ``default_rate``. Same single narrow scan as the uniform form — the
     stratum only selects which threshold the row's hash is compared to,
     so skewed strata cost nothing extra."""
-    c = F.col(id_col)
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt + "|"), c.cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
+    h = _hash32(id_col, salt)
     thr: Column = F.lit(int(default_rate * _HASH_SPACE))
     for k, v in sorted(rates.items()):
         thr = F.when(F.col(strat_col) == k, F.lit(int(v * _HASH_SPACE))).otherwise(thr)

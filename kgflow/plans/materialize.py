@@ -102,17 +102,18 @@ def merge_into_sql(
     else:
         sets = None
     if sets is None:
-        update = "UPDATE SET *"
+        matched = "WHEN MATCHED THEN UPDATE SET * "
     elif sets:
-        update = "UPDATE SET " + ", ".join(sets)
+        matched = "WHEN MATCHED THEN UPDATE SET " + ", ".join(sets) + " "
     else:
-        # every value column excluded: matched rows are left untouched,
-        # but key equality must still short-circuit the INSERT branch
-        update = "UPDATE SET " + ", ".join(f"t.{k} = t.{k}" for k in keys[:1])
+        # every value column excluded: omit WHEN MATCHED entirely —
+        # SQL MERGE allows an INSERT-only statement, matched rows are
+        # left untouched (a self-assignment would pointlessly rewrite
+        # rows and some engines reject updating ON-condition columns)
+        matched = ""
     return (
         f"MERGE INTO {table} t USING {src_view} s ON {on} "
-        f"WHEN MATCHED THEN {update} "
-        f"WHEN NOT MATCHED THEN INSERT *"
+        f"{matched}WHEN NOT MATCHED THEN INSERT *"
     )
 
 
@@ -223,7 +224,10 @@ def upsert(
     def _keep_first(merged: DataFrame) -> DataFrame:
         # first-writer-wins columns: earliest batch's value, deterministic
         # tiebreak by the value itself; joined back on the same keys the
-        # merge just shuffled on
+        # merge just shuffled on. The join is NULL-SAFE — plain key
+        # equality would silently drop every row with a NULL key value
+        # (in-contract: merge_into_sql uses `t.k <=> s.k` for the same
+        # reason, and the window merge above handles NULL keys fine).
         firsts = batch.groupBy(*keys).agg(
             *[
                 F.min_by(F.col(c), F.struct(F.col(order_col), F.col(c))).alias(c)
@@ -231,7 +235,16 @@ def upsert(
             ]
         )
         cols = merged.columns
-        return merged.drop(*excl).join(firsts, keys).select(*cols)
+        lhs = merged.drop(*excl)
+        cond = None
+        for k in keys:
+            c = lhs[k].eqNullSafe(firsts[k])
+            cond = c if cond is None else cond & c
+        return (
+            lhs.join(firsts, cond)
+            .drop(*[firsts[k] for k in keys])
+            .select(*cols)
+        )
 
     if mode == "merge_props":
         merged = merge_props_resolve(batch, keys, merge_cols or [], order_col)

@@ -270,6 +270,15 @@ def build_triples(
 
     ``lex``: pass a prepared ``Lexicon`` to skip per-run dimension prep
     (the recommended shape for repeated/incremental runs).
+
+    INPUT CONTRACT: one row per (conv_id, turn_idx) — the transcript
+    input hint's shape, and what "per-turn text equality under stable
+    (conv_id, turn_idx) ordering" presumes. Duplicate turn rows would
+    make the fused path compute co-occurrence per ROW while the
+    composition fallback merges per TURN (and would also duplicate
+    NEXT_TURN edges in both paths); de-duplicate upstream
+    (``canon.dedup_keep_first``) before calling if the source can emit
+    duplicates.
     """
     if lex is None:
         lex = prepare_lexicon(terms)

@@ -15,12 +15,28 @@ stateful-streaming twin of ``operators.sessionize``.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import schemas
+
+
+def _stream_query_id(checkpoint_loc: str) -> str | None:
+    """The streaming query's persistent id, read from the checkpoint's
+    ``metadata`` file. Survives crash/restart (same checkpoint → same
+    id); a DELETED checkpoint produces a fresh id — which is how the
+    provenance replay guard distinguishes an at-least-once replay
+    (skip) from an operator resetting the stream (must not silently
+    skip). Driver-local filesystem here; the Hadoop FS API is the
+    cluster form."""
+    p = os.path.join(checkpoint_loc, "metadata")
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh).get("id")
 
 
 def incremental_extract(
@@ -97,12 +113,16 @@ def incremental_extract_prov(
       by construction (all files present at drain time form one batch).
     * REPLAY GUARD — ``foreachBatch`` is at-least-once: a crash between
       the snapshot write and the stream-checkpoint commit replays the
-      batch on restart, which would double the counts silently. The max
-      merged ``batch_id`` rides the snapshot pointer flip atomically
-      (``write_snapshot(meta=...)``), and ``handle`` skips any batch id
-      already recorded — making snapshot + skip idempotent under replay
-      (the Iceberg form of the same guard is a MERGE conditioned on a
-      commit-property batch id).
+      batch on restart, which would double the counts silently. The
+      (stream query id, max merged batch id) pair rides the snapshot
+      pointer flip atomically (``write_snapshot(meta=...)``), and
+      ``handle`` skips a batch only when BOTH match — batch ids alone
+      are meaningless across streams: a deleted/reset checkpoint
+      restarts numbering at 0, and silently skipping (or worse,
+      additively re-merging) everything would corrupt the counts either
+      way, so a stream-id mismatch against an existing snapshot raises
+      with instructions instead. (The Iceberg form of the same guard is
+      a MERGE conditioned on commit-property stream+batch ids.)
 
     The merge is one groupBy on the triple key per batch — the same
     shuffle the batch dedup already pays — against the current snapshot,
@@ -114,14 +134,26 @@ def incremental_extract_prov(
 
     lex = P.prepare_lexicon(terms)
     snap_path = os.path.join(out_dir, "triples_prov")
+    ckpt_loc = os.path.join(out_dir, "_stream_prov_checkpoint")
     stream = spark.readStream.schema(schemas.TRANSCRIPT).parquet(input_dir)
     batches = {"n": 0}
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        batches["n"] += 1
+        stream_id = _stream_query_id(ckpt_loc)
         meta = mat.read_pointer_meta(snap_path)
-        if meta is not None and batch_id <= meta.get("merged_batch_id", -1):
-            return  # at-least-once replay of an already-merged batch
+        if meta is not None and meta.get("stream_id") is not None:
+            if meta["stream_id"] != stream_id:
+                raise RuntimeError(
+                    "incremental_extract_prov: the provenance snapshot at "
+                    f"{snap_path} was built by stream {meta['stream_id']} but "
+                    f"this query is {stream_id} — the checkpoint was reset "
+                    "while the snapshot was kept. Additive counts cannot "
+                    "survive that: restore the original checkpoint, or delete "
+                    "the snapshot to rebuild provenance from scratch."
+                )
+            if batch_id <= meta.get("merged_batch_id", -1):
+                return  # at-least-once replay of an already-merged batch
+        batches["n"] += 1
         run_id = f"{run_prefix}-{batch_id:09d}"
         new = P.build_triples_prov(batch_df, terms, isa_edges, lex=lex, run_id=run_id)
         existing = mat.read_table(spark, snap_path)
@@ -135,13 +167,15 @@ def incremental_extract_prov(
             F.sum("n_convs").alias("n_convs"),
             F.min("first_seen_run").alias("first_seen_run"),
         )
-        mat.write_snapshot(merged, snap_path, meta={"merged_batch_id": batch_id})
+        mat.write_snapshot(
+            merged,
+            snap_path,
+            meta={"merged_batch_id": batch_id, "stream_id": stream_id},
+        )
 
     q = (
         stream.writeStream.foreachBatch(handle)
-        .option(
-            "checkpointLocation", os.path.join(out_dir, "_stream_prov_checkpoint")
-        )
+        .option("checkpointLocation", ckpt_loc)
         .trigger(availableNow=True)
         .start()
     )
@@ -168,7 +202,12 @@ def incremental_doc_stats(
     from ..functions import text as tx
     from ..plans import materialize as mat
 
-    schema = spark.read.parquet(input_dir).schema
+    try:
+        schema = spark.read.parquet(input_dir).schema
+    except Exception:
+        # landing dir not created / no files yet: a maintenance job
+        # finding nothing to maintain is a no-op, not a crash
+        return 0
     stream = spark.readStream.schema(schema).parquet(input_dir)
     batches = {"n": 0}
     t = F.coalesce(F.col("text"), F.lit(""))

@@ -78,6 +78,23 @@ def test_resolve_spill_dir_prefers_cluster_visible(spark):
     assert "kgflow_cc_" in p2
 
 
+def test_connected_components_long_ids_distributed(spark):
+    """Numeric id columns survive the distributed path AND the hybrid
+    finisher (id type is preserved through parquet spills and the
+    driver union-find's createDataFrame)."""
+    rows = [(i, i + 1) for i in range(30)] + [(100, 101), (101, 102)]
+    edges = spark.createDataFrame(rows, "id_a long, id_b long")
+    got = {
+        (r.id, r.canonical_id)
+        for r in canon.connected_components(
+            edges, driver_threshold=5
+        ).collect()
+    }
+    want = {(i, 0) for i in range(31)} | {(i, 100) for i in (100, 101, 102)}
+    assert got == want
+    assert all(isinstance(i, int) for i, _ in got)
+
+
 def test_update_components_equals_scratch(spark):
     """Incremental maintenance == from-scratch CC on the union, across
     the interesting cases: component merge via a bridge edge, brand-new

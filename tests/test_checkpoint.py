@@ -356,12 +356,14 @@ def test_merge_into_sql_exclude_update_cols():
         exclude_update_cols=["first_seen_run"],
     )
     assert "t.first_seen_run" not in sql2.split("WHEN MATCHED")[1].split("WHEN NOT MATCHED")[0]
-    # all value columns excluded: matched rows become a no-op, INSERT intact
+    # all value columns excluded: WHEN MATCHED is omitted entirely
+    # (INSERT-only MERGE) so matched rows are genuinely untouched
     sql3 = mat.merge_into_sql(
         "t", "s", ["id", "first_seen_run"], ["id"],
         exclude_update_cols=["first_seen_run"],
     )
-    assert "UPDATE SET t.id = t.id" in sql3
+    assert "WHEN MATCHED" not in sql3
+    assert "WHEN NOT MATCHED THEN INSERT *" in sql3
 
 
 def test_upsert_fallback_keep_first(spark, tmp_path):

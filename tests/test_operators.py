@@ -305,6 +305,52 @@ def test_aho_corasick_extract_mentions_parity(spark):
     assert greedy == aho and len(greedy) == 2
 
 
+def test_grouped_explode_equals_linked_mentions(spark):
+    """The grouped fused extractor's correctness claim: exploding
+    arrays_zip(term_ids, namespaces) reproduces extract_linked_mentions
+    exactly (multiplicity preserved) — pinned here so the exploded-form
+    baseline cannot silently rot."""
+    tr = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "alpha kinase then beta then alpha kinase", None, None),
+            ("c1", 1, "asst", "beta beta gamma", None, None),
+            ("c2", 0, "user", "", None, None),
+            ("c2", 1, "user", "nothing relevant here", None, None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    smap = {
+        "alpha kinase": ("T1", "ns1"),
+        "beta": ("T2", "ns2"),
+        "gamma": ("T3_ALT", "ns1"),
+    }
+    cmap = {"T3_ALT": "T3"}
+    flat = sorted(
+        map(tuple, extract.extract_linked_mentions(tr, smap, cmap).collect())
+    )
+    grouped = extract.extract_linked_terms_grouped(tr, smap, cmap)
+    exploded = sorted(
+        map(
+            tuple,
+            grouped.select(
+                "conv_id",
+                "turn_idx",
+                F.explode(F.arrays_zip("term_ids", "namespaces")).alias("_m"),
+            )
+            .select(
+                "conv_id",
+                "turn_idx",
+                F.col("_m.term_ids").alias("term_id"),
+                F.col("_m.namespaces").alias("namespace"),
+            )
+            .collect(),
+        )
+    )
+    assert flat == exploded
+    # multiplicity really is preserved (beta twice in c1 turn 1)
+    assert flat.count(("c1", 1, "T2", "ns2")) == 2
+
+
 def test_hash_sample_deterministic_rate_and_salt(spark):
     from kgflow.operators import sample
 

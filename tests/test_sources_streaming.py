@@ -204,12 +204,13 @@ def test_incremental_prov_additive(spark, transcripts, lexicon, tmp_path):
 
 def test_incremental_prov_replay_idempotent(spark, transcripts, lexicon, tmp_path):
     """foreachBatch is at-least-once: a crash between the snapshot write
-    and the stream-checkpoint commit replays the batch. Simulated here by
-    deleting the stream checkpoint (so the restarted stream re-delivers
-    everything as an already-seen batch id) — the merged_batch_id guard
-    riding the snapshot pointer must skip it, leaving every additive
-    count unchanged."""
-    import shutil
+    and the stream-checkpoint commit replays the batch on restart. The
+    exact failure is simulated by deleting the checkpoint's latest
+    `commits/<N>` marker (offsets written, commit missing — same stream
+    query id): the restarted drain re-delivers batch N, and the
+    (stream_id, merged_batch_id) guard riding the snapshot pointer must
+    skip it, leaving every additive count unchanged."""
+    import os
 
     terms, isa = lexicon
     in_dir = str(tmp_path / "in")
@@ -223,14 +224,43 @@ def test_incremental_prov_replay_idempotent(spark, transcripts, lexicon, tmp_pat
         for r in incremental.read_prov_triples(spark, out_dir).collect()
     }
     assert before
-    # lose the checkpoint but keep the snapshot: the worst-case replay
-    shutil.rmtree(tmp_path / "out" / "_stream_prov_checkpoint")
+    commits = tmp_path / "out" / "_stream_prov_checkpoint" / "commits"
+    latest = max(
+        (f for f in os.listdir(commits) if not f.startswith(".")), key=int
+    )
+    os.remove(commits / latest)
+    # drop the Hadoop LocalFS checksum twin too — a stale .crc makes the
+    # replayed batch's commit write fail as "concurrent modification"
+    crc = commits / f".{latest}.crc"
+    if crc.exists():
+        os.remove(crc)
     incremental.incremental_extract_prov(spark, in_dir, out_dir, terms, isa)
     after = {
         (r.subj, r.pred, r.obj): (r.family, r.n_obs, r.n_convs, r.first_seen_run)
         for r in incremental.read_prov_triples(spark, out_dir).collect()
     }
     assert after == before
+
+
+def test_incremental_prov_checkpoint_reset_raises(spark, transcripts, lexicon, tmp_path):
+    """Deleting the WHOLE checkpoint while keeping the snapshot is not a
+    replay — the fresh stream restarts batch ids at 0 and an additive
+    merge can neither skip (loses new data) nor re-merge (double
+    counts). The stream-id guard must refuse loudly."""
+    import shutil
+
+    import pytest
+
+    terms, isa = lexicon
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    transcripts.filter(F.col("conv_id") < "conv-000010").write.mode(
+        "append"
+    ).parquet(in_dir)
+    incremental.incremental_extract_prov(spark, in_dir, out_dir, terms, isa)
+    shutil.rmtree(tmp_path / "out" / "_stream_prov_checkpoint")
+    with pytest.raises(Exception, match="checkpoint was reset"):
+        incremental.incremental_extract_prov(spark, in_dir, out_dir, terms, isa)
 
 
 def test_incremental_doc_stats(spark, tmp_path):
