@@ -47,46 +47,35 @@ def star_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
 
-    def uri(prefix: str, col) -> F.Column:
-        return F.concat(F.lit(prefix + ":"), F.col(col).cast("string"))
+    # Shuffle COMPACT KEYS, build URI strings only after the exchange:
+    # the testdata files are single-row-group parquet, so each scan is
+    # one task no matter what maxPartitionBytes says — keeping the
+    # pre-shuffle side to raw longs moves the string concat onto the
+    # post-shuffle side (full parallelism) and shrinks the exchange from
+    # ~25-byte URIs to 8-byte keys. Dedup on (prefix, key) equals dedup
+    # on the concatenated URI because prefixes are ':'-free constants
+    # and keys are numeric (the concat is injective).
+    def fam(df, s_pre, s_key, pred, o_pre, o_key):
+        return df.select(
+            F.lit(s_pre).alias("s_pre"),
+            F.col(s_key).cast("long").alias("s_key"),
+            F.lit(pred).alias("pred"),
+            F.lit(o_pre).alias("o_pre"),
+            F.col(o_key).cast("long").alias("o_key"),
+        )
 
-    placed = orders.select(
-        uri("cust", "o_custkey").alias("subj"),
-        F.lit("PLACED").alias("pred"),
-        uri("order", "o_orderkey").alias("obj"),
+    raw = (
+        fam(orders, "cust", "o_custkey", "PLACED", "order", "o_orderkey")
+        .unionByName(fam(lineitem, "order", "l_orderkey", "CONTAINS", "part", "l_partkey"))
+        .unionByName(fam(lineitem, "order", "l_orderkey", "SUPPLIED_BY", "supplier", "l_suppkey"))
+        .unionByName(fam(customer, "cust", "c_custkey", "LOCATED_IN", "nation", "c_nationkey"))
+        .unionByName(fam(supplier, "supplier", "s_suppkey", "LOCATED_IN", "nation", "s_nationkey"))
+        .unionByName(fam(nation, "nation", "n_nationkey", "PART_OF", "region", "n_regionkey"))
     )
-    contains = lineitem.select(
-        uri("order", "l_orderkey").alias("subj"),
-        F.lit("CONTAINS").alias("pred"),
-        uri("part", "l_partkey").alias("obj"),
-    )
-    supplied = lineitem.select(
-        uri("order", "l_orderkey").alias("subj"),
-        F.lit("SUPPLIED_BY").alias("pred"),
-        uri("supplier", "l_suppkey").alias("obj"),
-    )
-    cust_nation = customer.select(
-        uri("cust", "c_custkey").alias("subj"),
-        F.lit("LOCATED_IN").alias("pred"),
-        uri("nation", "c_nationkey").alias("obj"),
-    )
-    supp_nation = supplier.select(
-        uri("supplier", "s_suppkey").alias("subj"),
-        F.lit("LOCATED_IN").alias("pred"),
-        uri("nation", "s_nationkey").alias("obj"),
-    )
-    nat_region = nation.select(
-        uri("nation", "n_nationkey").alias("subj"),
-        F.lit("PART_OF").alias("pred"),
-        uri("region", "n_regionkey").alias("obj"),
-    )
-    return (
-        placed.unionByName(contains)
-        .unionByName(supplied)
-        .unionByName(cust_nation)
-        .unionByName(supp_nation)
-        .unionByName(nat_region)
-        .dropDuplicates(["subj", "pred", "obj"])
+    return raw.dropDuplicates(["s_pre", "s_key", "pred", "o_pre", "o_key"]).select(
+        F.concat("s_pre", F.lit(":"), F.col("s_key").cast("string")).alias("subj"),
+        "pred",
+        F.concat("o_pre", F.lit(":"), F.col("o_key").cast("string")).alias("obj"),
     )
 
 
