@@ -1696,6 +1696,27 @@ def q_dedup_cluster_assign(spark, sf):
     return dedup.dedup_clusters(_t(spark, sf, "documents"))
 
 
+def q_pii_redact(spark, sf):
+    """Privacy scrub (pre-training pass): URL / email / IPv4 / phone
+    spans → typed placeholders via chained regexp_replace
+    (tx.redact_pii — lookaround-free patterns so Java regex and RE2
+    agree bit-for-bit). PII-bearing text is constructed
+    deterministically from the customer table so the patterns are
+    actually exercised; zero shuffle, pure codegen."""
+    c = _t(spark, sf, "customer")
+    ck = F.col("c_custkey").cast("string")
+    synth_text = F.concat(
+        F.lit("contact "), F.col("c_name"),
+        F.lit(" at user"), ck, F.lit("@example.org, see https://ex.com/p/"), ck,
+        F.lit(" ip 10.0."), (F.col("c_custkey") % 256).cast("string"),
+        F.lit("."), F.col("c_nationkey").cast("string"),
+        F.lit(" tel 555-010-"), F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+    )
+    return c.select(
+        "c_custkey", tx.redact_pii(synth_text).alias("redacted")
+    )
+
+
 def q_lexical_diversity(spark, sf):
     """Quality dimension: type-token ratio per source (distinct tokens /
     total tokens), scaled-integer exact so the aggregate is independent
@@ -2015,7 +2036,19 @@ _R4_QUERIES = {
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
     "dedup_cluster_assign": q_dedup_cluster_assign,
+    "pii_redact": q_pii_redact,
 }
+
+
+def _pii_redact_sql(expr: str) -> str:
+    """Chain the SAME PII_PATTERNS over a SQL expression (DuckDB
+    regexp_replace needs the 'g' flag for global replacement)."""
+    from kgflow.functions.text import PII_PATTERNS
+
+    out = expr
+    for pat, repl in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
 
 
 def _r4_oracles() -> dict[str, str]:
@@ -2100,6 +2133,14 @@ def _r4_oracles() -> dict[str, str]:
               coalesce(c.rep, d.doc_id) AS cluster_rep,
               coalesce(c.rep, d.doc_id) = d.doc_id AS is_rep
             FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""",
+        "pii_redact": f"""
+            SELECT c_custkey, {_pii_redact_sql(
+                "'contact ' || c_name || ' at user' || c_custkey"
+                " || '@example.org, see https://ex.com/p/' || c_custkey"
+                " || ' ip 10.0.' || (c_custkey % 256) || '.' || c_nationkey"
+                " || ' tel 555-010-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')"
+            )} AS redacted
+            FROM customer""",
     }
 
 

@@ -92,6 +92,30 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalized_text(col))
 
 
+# PII scrub patterns, applied IN THIS ORDER (URLs first so an email
+# inside a URL is captured as part of the URL, IPs before phones so a
+# dotted quad isn't half-eaten as a phone number). Deliberately
+# lookaround/backreference-free: the same patterns must run under
+# Java's regex (Spark) and RE2 (DuckDB oracle) with identical results.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"[+(]?\d[\d().-]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Scrub URL / email / IPv4 / phone-shaped spans to typed
+    placeholders — the standard pre-training privacy pass. Pure chained
+    ``regexp_replace`` (JVM codegen, zero shuffle); span-typed
+    placeholders keep token statistics meaningful downstream."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct n-word shingles as an array<string> (empty if < n tokens).
 

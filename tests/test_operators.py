@@ -305,6 +305,30 @@ def test_aho_corasick_extract_mentions_parity(spark):
     assert greedy == aho and len(greedy) == 2
 
 
+def test_redact_pii_patterns_and_order(spark):
+    """Each PII class scrubs to its typed placeholder; application
+    order matters: an email inside a URL is swallowed by <URL>, and a
+    dotted quad is <IP>, never half-eaten as a phone number."""
+    from kgflow.functions import text as tx
+
+    cases = {
+        "mail me at bob.smith+x@sub.example.co.uk today":
+            "mail me at <EMAIL> today",
+        "docs at https://ex.com/a?user=a@b.com ok": "docs at <URL> ok",
+        "host 192.168.0.1 up": "host <IP> up",
+        "call +1 555-010-9999 now": "call +1 <PHONE> now",
+        "call 5550109999 now": "call <PHONE> now",
+        "plain text stays": "plain text stays",
+        "ip 10.0.0.1 then (555)010-9999": "ip <IP> then <PHONE>",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "i long, t string"
+    )
+    got = {r.i: r.red for r in df.select("i", tx.redact_pii("t").alias("red")).collect()}
+    want = dict(enumerate(cases.values()))
+    assert got == want
+
+
 def test_grouped_explode_equals_linked_mentions(spark):
     """The grouped fused extractor's correctness claim: exploding
     arrays_zip(term_ids, namespaces) reproduces extract_linked_mentions
