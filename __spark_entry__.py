@@ -1696,6 +1696,25 @@ def q_dedup_cluster_assign(spark, sf):
     return dedup.dedup_clusters(_t(spark, sf, "documents"))
 
 
+def q_simhash_near_pairs(spark, sf):
+    """SimHash tier completed: hamming ≤ 2 near-dup pairs via
+    pigeonhole banding (6/5/5-bit bands — agreement on ≥1 band is
+    guaranteed within the bound), bucketed equi-join candidates,
+    bit_count(xor) exact verify. dedup.simhash_near_pairs."""
+    return dedup.simhash_near_pairs(_t(spark, sf, "documents"))
+
+
+def q_sample_exact_n(spark, sf):
+    """Fixed-budget stratified sampling: exactly min(5, |stratum|) docs
+    per source — each stratum's 5 smallest md5 hashes (deterministic,
+    engine-portable). sample.stratified_sample_exact_n."""
+    from kgflow.operators import sample
+
+    return sample.stratified_sample_exact_n(
+        _t(spark, sf, "documents"), n=5
+    ).select("doc_id", "source")
+
+
 def q_pii_redact(spark, sf):
     """Privacy scrub (pre-training pass): URL / email / IPv4 / phone
     spans → typed placeholders via chained regexp_replace
@@ -2037,6 +2056,8 @@ _R4_QUERIES = {
     "pack_sequences": q_pack_sequences,
     "dedup_cluster_assign": q_dedup_cluster_assign,
     "pii_redact": q_pii_redact,
+    "simhash_near_pairs": q_simhash_near_pairs,
+    "sample_exact_n": q_sample_exact_n,
 }
 
 
@@ -2052,7 +2073,34 @@ def _pii_redact_sql(expr: str) -> str:
 
 
 def _r4_oracles() -> dict[str, str]:
+    base_simhash = _base_oracles()["simhash"]
     return {
+        "simhash_near_pairs": f"""
+            WITH sim AS ({base_simhash}),
+            bands AS (
+              SELECT doc_id, simhash, 0 AS band_id, simhash & 63 AS band_val FROM sim
+              UNION ALL
+              SELECT doc_id, simhash, 1, (simhash >> 6) & 31 FROM sim
+              UNION ALL
+              SELECT doc_id, simhash, 2, (simhash >> 11) & 31 FROM sim
+            ),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                     l.simhash AS sa, r.simhash AS sb
+              FROM bands l JOIN bands r
+                ON l.band_id = r.band_id AND l.band_val = r.band_val
+               AND l.doc_id < r.doc_id
+            )
+            SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 2""",
+        "sample_exact_n": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source, row_number() OVER (
+                PARTITION BY source
+                ORDER BY CAST(('0x' || substr(md5('kgflow|' || doc_id), 1, 8)) AS BIGINT),
+                         doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 5""",
         # token-boundary occurrence: the probe's tokens as a contiguous
         # token subsequence ⇔ space-padded substring of the space-padded
         # normalized text

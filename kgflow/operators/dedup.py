@@ -216,6 +216,62 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: hamming distance ≤ ``max_hamming``
+    on the 16-bit signature, found WITHOUT an all-pairs comparison via
+    the pigeonhole banding the signature tier was missing — split 16
+    bits into ``max_hamming + 1`` disjoint bands; two signatures within
+    the distance bound must agree exactly on at least one band, so
+    candidates form only inside (band_id, band_value) buckets (one
+    equi-join shuffle), then ``bit_count(xor)`` verifies exactly.
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+
+    max_hamming=2 → 3 bands of 6/5/5 bits. Same scale shape as the
+    MinHash tier: bucketed candidates, exact verify, no cartesian.
+    """
+    n_bands = max_hamming + 1
+    widths: list[int] = []
+    base, rem = divmod(16, n_bands)
+    for i in range(n_bands):
+        widths.append(base + (1 if i < rem else 0))
+    sigs = simhash16(docs, id_col, text_col)
+    offs = 0
+    band_structs = []
+    for b, w in enumerate(widths):
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright("simhash", offs).bitwiseAND(F.lit((1 << w) - 1)).alias("band_val"),
+            )
+        )
+        offs += w
+    bands = sigs.select(
+        id_col, "simhash", F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, "simhash", "band.band_id", "band.band_val")
+    l = bands.alias("l")
+    r = bands.alias("r")
+    cand = (
+        l.join(r, ["band_id", "band_val"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("_sa"),
+            F.col("r.simhash").alias("_sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return cand.select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
 def dedup_clusters(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -76,6 +76,27 @@ def stratified_hash_sample(
     return docs.filter(h < thr)
 
 
+def stratified_sample_exact_n(
+    docs: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+    salt: str = "kgflow",
+) -> DataFrame:
+    """EXACTLY min(n, |stratum|) rows per stratum — the fixed-budget
+    complement of the rate-based sampler: keep each stratum's n
+    smallest hash values (deterministic 'random' order, tie-broken by
+    id). One window shuffle; the same hash family as ``hash_keep``, so
+    an exact-N sample at growing n is a superset chain, and exact-N and
+    rate samples of the same stratum agree on their overlap."""
+    w = Window.partitionBy(strat_col).orderBy(_hash32(id_col, salt), id_col)
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int,

@@ -305,6 +305,55 @@ def test_aho_corasick_extract_mentions_parity(spark):
     assert greedy == aho and len(greedy) == 2
 
 
+def test_simhash_near_pairs_equals_bruteforce(spark):
+    """The banded candidate generation must find EVERY pair within the
+    hamming bound (pigeonhole completeness), matching an all-pairs
+    bit_count check exactly."""
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j * (1 + i % 3)) % 23}" for j in range(12)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_near_pairs(docs, max_hamming=2).collect()
+    }
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash16(docs).collect()}
+    ids = sorted(sigs)
+    want = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 2
+    }
+    assert got == want and want  # non-vacuous: some pairs exist
+
+
+def test_stratified_sample_exact_n(spark):
+    from kgflow.operators import sample
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "a")
+        .when(F.col("id") % 3 == 1, "b")
+        .otherwise("c")
+        .alias("source"),
+    )
+    out5 = sample.stratified_sample_exact_n(docs, 5)
+    counts = {
+        r.source: r.n
+        for r in out5.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"a": 5, "b": 5, "c": 5}
+    # n larger than a stratum returns the whole stratum, no padding
+    tiny = docs.filter("doc_id < 4")  # sources a:2, b:1, c:1
+    assert sample.stratified_sample_exact_n(tiny, 5).count() == 4
+    # superset chain: the 5-sample is inside the 10-sample
+    s5 = {r.doc_id for r in out5.collect()}
+    s10 = {r.doc_id for r in sample.stratified_sample_exact_n(docs, 10).collect()}
+    assert s5 <= s10
+
+
 def test_redact_pii_patterns_and_order(spark):
     """Each PII class scrubs to its typed placeholder; application
     order matters: an email inside a URL is swallowed by <URL>, and a
