@@ -2077,12 +2077,17 @@ def _r4_oracles() -> dict[str, str]:
     return {
         "simhash_near_pairs": f"""
             WITH sim AS ({base_simhash}),
-            bands AS (
+            bands0 AS (
               SELECT doc_id, simhash, 0 AS band_id, simhash & 63 AS band_val FROM sim
               UNION ALL
               SELECT doc_id, simhash, 1, (simhash >> 6) & 31 FROM sim
               UNION ALL
               SELECT doc_id, simhash, 2, (simhash >> 11) & 31 FROM sim
+            ),
+            bands AS (
+              -- hot-bucket cap, mirroring simhash_near_pairs(max_bucket=500)
+              SELECT doc_id, simhash, band_id, band_val FROM bands0
+              QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_val) <= 500
             ),
             cand AS (
               SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,

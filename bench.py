@@ -54,6 +54,11 @@ EXTRAS = [
     "multimodal_decode",
     "path_upto3",
     "rdf_ntriples_parse",
+    # round-4 additions
+    "dedup_cluster_assign",
+    "pack_sequences",
+    "pii_redact",
+    "simhash_near_pairs",
 ]
 
 _CACHE_ROOT = os.environ.get("KGFLOW_BENCH_CACHE", "/tmp/kgflow_bench")

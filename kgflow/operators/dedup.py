@@ -221,6 +221,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 2,
+    max_bucket: int | None = 500,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: hamming distance ≤ ``max_hamming``
     on the 16-bit signature, found WITHOUT an all-pairs comparison via
@@ -232,7 +233,13 @@ def simhash_near_pairs(
     Returns (id_a, id_b, hamming) with id_a < id_b.
 
     max_hamming=2 → 3 bands of 6/5/5 bits. Same scale shape as the
-    MinHash tier: bucketed candidates, exact verify, no cartesian.
+    MinHash tier: bucketed candidates, exact verify, no cartesian —
+    including the same hot-bucket cap (``max_bucket``, ON by default):
+    a 16-bit signature space over template-heavy corpora concentrates
+    thousands of near-identical docs into one band value, and the
+    bucket self-join would go quadratic there; such groups are
+    (near-)exact duplicates — the cheap exact-dedup tier's job, not
+    pairwise search.
     """
     n_bands = max_hamming + 1
     widths: list[int] = []
@@ -253,6 +260,15 @@ def simhash_near_pairs(
     bands = sigs.select(
         id_col, "simhash", F.explode(F.array(*band_structs)).alias("band")
     ).select(id_col, "simhash", "band.band_id", "band.band_val")
+    if max_bucket is not None:
+        bands = bands.localCheckpoint(eager=False)
+        hot = (
+            bands.groupBy("band_id", "band_val")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") > max_bucket)
+            .select("band_id", "band_val")
+        )
+        bands = bands.join(F.broadcast(hot), ["band_id", "band_val"], "left_anti")
     l = bands.alias("l")
     r = bands.alias("r")
     cand = (
