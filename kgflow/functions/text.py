@@ -97,11 +97,29 @@ def fingerprint(col: Column | str) -> Column:
 # dotted quad isn't half-eaten as a phone number). Deliberately
 # lookaround/backreference-free: the same patterns must run under
 # Java's regex (Spark) and RE2 (DuckDB oracle) with identical results.
+#
+# Precision choices (vs the naive "any 9+-char digit/dash run"):
+# * <IP> requires in-range octets (0-255), so 4-part version strings
+#   like 1.22.333.4 survive; a version that IS a valid dotted quad is
+#   indistinguishable from an address and stays redacted.
+# * <PHONE> requires phone STRUCTURE — a + prefix, a parenthesized
+#   area code, three separator-split groups of ≥3/≥3/≥2 digits, or a
+#   bare 9-15 digit run at word boundaries. ISO dates (2026-08-17:
+#   groups of 4/2/2), times, versions, and short numeric ids no longer
+#   match; separator-free digit runs under 9 digits are left alone
+#   (over-redaction of a 9+ digit id is the privacy-safe side).
+_OCTET = r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
 PII_PATTERNS: list[tuple[str, str]] = [
     (r"https?://[^\s]+", "<URL>"),
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    (r"[+(]?\d[\d().-]{7,}\d", "<PHONE>"),
+    (rf"\b{_OCTET}\.{_OCTET}\.{_OCTET}\.{_OCTET}\b", "<IP>"),
+    (
+        r"\+\d[\d\s().-]{6,18}\d"
+        r"|\(\d{2,4}\)[\s.-]?\d[\d\s.-]{4,10}\d"
+        r"|\b\d{3,4}[\s.-]\d{3,4}[\s.-]\d{2,6}\b"
+        r"|\b\d{9,15}\b",
+        "<PHONE>",
+    ),
 ]
 
 

@@ -250,12 +250,49 @@ def connected_components(
         return m
 
     try:
-        nodes = spill(e.select(F.col("a").alias("id")).union(e.select("b")).distinct())
+        # ------------------------------------------------------------------
+        # Dictionary-encode string node ids to longs BEFORE the loop.
+        # Round 1 carries ~90% of the wall time shuffling the symmetric
+        # closure (PERF.md §17), and with string ids every one of those
+        # rows ships a ~2×20-byte UTF8 key; encoding the ids against a
+        # spilled (orig → long) dimension cuts shuffle bytes several-fold
+        # on exactly the rounds that dominate. The encoding is two
+        # hash-joins paid once; the decode at the end is one join plus a
+        # per-component min to restore canonical = min ORIGINAL id (the
+        # encoded labels are order-arbitrary, so the component minimum
+        # must be re-taken in the original id space). Numeric inputs
+        # skip all of this — they're already compact shuffle keys.
+        # ------------------------------------------------------------------
+        encode = id_type not in ("bigint", "int", "smallint", "tinyint")
+        if encode:
+            # monotonically_increasing_id is only stable within one
+            # evaluation — the spill write freezes the assignment before
+            # anything else reads it
+            dim = spill(
+                e.select(F.col("a").alias("orig"))
+                .union(e.select("b"))
+                .distinct()
+                .withColumn("enc", F.monotonically_increasing_id())
+            )
+            da = dim.select(F.col("orig").alias("_oa"), F.col("enc").alias("_ea"))
+            db = dim.select(F.col("orig").alias("_ob"), F.col("enc").alias("_eb"))
+            e_work = spill(
+                e.join(da, e["a"] == da["_oa"])
+                .join(db, e["b"] == db["_ob"])
+                .select(F.col("_ea").alias("a"), F.col("_eb").alias("b"))
+            )
+            nodes = dim.select(F.col("enc").alias("id"))
+            loop_id_type = "bigint"
+        else:
+            e_work = e
+            nodes = spill(e.select(F.col("a").alias("id")).union(e.select("b")).distinct())
+            loop_id_type = id_type
         # symmetric closure once; afterwards the edge set lives on the
         # shrinking label space
         e2 = spill(
-            e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-            .dropDuplicates()
+            e_work.union(
+                e_work.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            ).dropDuplicates()
         )
         # Per-round merge maps, composed ONCE at the end. Domains are
         # disjoint across rounds (a label that merges away is rewritten
@@ -312,7 +349,7 @@ def connected_components(
                 cmap = _union_find_map(e2.collect())
                 maps.append(
                     spark.createDataFrame(
-                        list(cmap.items()), f"_f {id_type}, _t {id_type}"
+                        list(cmap.items()), f"_f {loop_id_type}, _t {loop_id_type}"
                     )
                 )
                 if verbose:
@@ -349,6 +386,18 @@ def connected_components(
             )
         else:
             labels = nodes.select("id", F.col("id").alias("canonical_id"))
+        if encode:
+            # decode: one hash-join back through the spilled dimension,
+            # then restore canonical = min ORIGINAL id per component
+            # (the encoded component label is order-arbitrary)
+            d1 = dim.select(F.col("enc").alias("_e"), F.col("orig").alias("_o"))
+            lab = spill(
+                labels.join(d1, labels["id"] == d1["_e"]).select(
+                    F.col("_o").alias("id"), F.col("canonical_id").alias("_ce")
+                )
+            )
+            comp_min = lab.groupBy("_ce").agg(F.min("id").alias("canonical_id"))
+            labels = lab.join(comp_min, "_ce").select("id", "canonical_id")
         out = labels.localCheckpoint(eager=True)
     finally:
         _hadoop_rm(spark, spill_dir)
@@ -417,20 +466,36 @@ def update_components(
 
 
 def apply_canonical(
-    df: DataFrame, mapping: DataFrame, cols: list[str]
+    df: DataFrame,
+    mapping: DataFrame,
+    cols: list[str],
+    broadcast_threshold: int | None = 4_000_000,
 ) -> DataFrame:
     """Rewrite id columns through the (id → canonical_id) mapping.
 
     Ids absent from the mapping stay as-is (they are their own
     canonical form).
+
+    The broadcast hint is size-GATED (one bounded count of the mapping,
+    shared across all ``cols``; ``None`` = never hint): ontology-scale
+    mappings (the KG pipeline's feed) broadcast as before, but a
+    corpus-scale mapping — e.g. a web-dedup cluster map with one row
+    per near-duplicated document — falls back to AQE-chosen shuffle
+    joins instead of a guaranteed driver OOM. On real deployments the
+    mapping table is bucketed by id, making these co-located joins.
     """
+    hint = broadcast_threshold is not None and (
+        mapping.limit(broadcast_threshold + 1).count() <= broadcast_threshold
+    )
     out = df
     for c in cols:
         m = mapping.select(
             F.col("id").alias(f"_m_{c}"), F.col("canonical_id").alias(f"_c_{c}")
         )
+        if hint:
+            m = F.broadcast(m)
         out = (
-            out.join(F.broadcast(m), out[c] == m[f"_m_{c}"], "left")
+            out.join(m, out[c] == m[f"_m_{c}"], "left")
             .withColumn(c, F.coalesce(F.col(f"_c_{c}"), F.col(c)))
             .drop(f"_m_{c}", f"_c_{c}")
         )

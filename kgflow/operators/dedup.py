@@ -5,9 +5,18 @@ Four tiers, cheapest first (run in this order at scale):
 1. **exact** — md5 fingerprint groupBy; one shuffle on a 16-byte key.
 2. **MinHash + LSH** — shingle → K md5-min signatures → band buckets →
    candidate pairs only within a bucket; avoids the O(n²) cross join.
-3. **SimHash** — 16-bit sign-hash bucket; candidates share a bucket.
+3. **SimHash** — sign-hash signature (16-bit sandbox default, 64-bit
+   corpus scale: 2¹⁶ signature values cannot separate 10⁸⁺ documents —
+   every band bucket saturates and the hot-bucket cap would silently
+   drop everything; ``simhash64`` is the same arithmetic over 64 bits).
 4. **n-gram Jaccard verify** — exact set overlap, run only on the
    candidate pairs the cheap tiers emit.
+
+Hot-bucket caps are observable, not silent: ``minhash_cap_stats`` /
+``simhash_cap_stats`` report, for the exact banding a pairing call
+would use, how many buckets the cap drops, how many band rows those
+buckets held, and how many documents lose EVERY band (and with it all
+candidate generation) — the number that measures recall loss.
 
 Everything is built-in-function only (JVM, codegen); md5 is used as the
 hash family so a DuckDB oracle reproduces every value bit-for-bit.
@@ -71,6 +80,114 @@ def minhash_signatures(
     return sh.select(F.col(id_col), *[sig(i) for i in range(num_hashes)])
 
 
+def _minhash_bands(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    band_size: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(id, band_id, band_key) — one row per (doc, LSH band)."""
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    n_bands = num_hashes // band_size
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "|", *[F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_key")
+
+
+def _drop_hot_buckets(
+    bands: DataFrame, bucket_cols: list[str], max_bucket: int
+) -> DataFrame:
+    """Anti-join away over-limit buckets. Over-limit bucket keys are few
+    (they're the skew!) — aggregate to per-bucket counts, keep the heavy
+    ones, and broadcast-anti-join them away. Unlike count-over-window
+    this adds no sort, and the map-side partial count collapses hot
+    buckets before the shuffle. The bands frame feeds the hot-key
+    aggregate AND the join probe AND the l/r self-pairing — lazy
+    localCheckpoint materializes the signatures once instead of
+    recomputing them per consumer (exchange reuse only saves the
+    shuffle, not the post-shuffle hash projection)."""
+    bands = bands.localCheckpoint(eager=False)
+    hot = (
+        bands.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") > max_bucket)
+        .select(*bucket_cols)
+    )
+    return bands.join(F.broadcast(hot), bucket_cols, "left_anti")
+
+
+def _cap_stats(
+    bands: DataFrame, bucket_cols: list[str], id_col: str, max_bucket: int
+) -> DataFrame:
+    """One row: (n_buckets, n_capped_buckets, n_rows_dropped,
+    n_docs_fully_excluded) for the given banding and cap. The last
+    number is the one that measures recall loss: a doc whose EVERY band
+    is hot generates no candidates at all, so any true near-dup pair
+    whose only agreeing band is hot is silently lost by the cap — this
+    makes that loss observable (the repo's no-silent-caps rule).
+
+    Scale shape: the same per-bucket aggregate the cap itself runs, one
+    per-doc aggregate, and two single-row reductions joined on a
+    literal key — no corpus-sized collect."""
+    bands = bands.localCheckpoint(eager=False)
+    counts = bands.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bn"))
+    bucket_stats = counts.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum((F.col("_bn") > max_bucket).cast("long")).alias("n_capped_buckets"),
+        F.sum(F.when(F.col("_bn") > max_bucket, F.col("_bn")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_rows_dropped"),
+    ).withColumn("_k", F.lit(1))
+    hot = counts.filter(F.col("_bn") > max_bucket).select(*bucket_cols).withColumn(
+        "_hot", F.lit(1)
+    )
+    per_doc = (
+        bands.join(F.broadcast(hot), bucket_cols, "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_nb"),
+            F.sum(F.coalesce("_hot", F.lit(0))).alias("_nh"),
+        )
+    )
+    doc_stats = per_doc.agg(
+        F.sum((F.col("_nb") == F.col("_nh")).cast("long")).alias(
+            "n_docs_fully_excluded"
+        )
+    ).withColumn("_k", F.lit(1))
+    return bucket_stats.join(doc_stats, "_k").drop("_k")
+
+
+def minhash_cap_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """Hot-bucket drop report for ``minhash_lsh_pairs`` at the same
+    parameters — run it beside the pairing call to see what the cap
+    costs (see ``_cap_stats``)."""
+    bands = _minhash_bands(docs, id_col, text_col, num_hashes, band_size, shingle_n)
+    return _cap_stats(bands, ["band_id", "band_key"], id_col, max_bucket)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -90,47 +207,13 @@ def minhash_lsh_pairs(
     bucket's pair output at max_bucket²/2 and killing the straggler
     task a boilerplate group would otherwise create. (Such groups are
     exact or near-exact duplicates — the cheap exact-dedup tier, run
-    first, is the right tool for them, not pairwise LSH.) The cap is a
-    groupBy-count + broadcast anti-join of the over-limit bucket keys —
-    a tiny aggregate instead of a count-over-window, so no per-bucket
-    sort is added to the plan.
+    first, is the right tool for them, not pairwise LSH.) What the cap
+    drops is observable via ``minhash_cap_stats`` at the same
+    parameters — no silent caps.
     """
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
-    n_bands = num_hashes // band_size
-    bands = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.concat_ws(
-                            "|", *[F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
-                        ).alias("band_key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_key")
+    bands = _minhash_bands(docs, id_col, text_col, num_hashes, band_size, shingle_n)
     if max_bucket is not None:
-        # over-limit bucket keys are few (they're the skew!) — aggregate
-        # to (band_id, band_key) counts, keep the heavy ones, and
-        # broadcast-anti-join them away. Unlike count-over-window this
-        # adds no sort, and the map-side partial count collapses hot
-        # buckets before the shuffle. The bands frame feeds the hot-key
-        # aggregate AND the join probe AND the l/r self-pairing — lazy
-        # localCheckpoint materializes the md5 signatures once instead
-        # of recomputing them per consumer (exchange reuse only saves
-        # the shuffle, not the post-shuffle md5 projection).
-        bands = bands.localCheckpoint(eager=False)
-        hot = (
-            bands.groupBy("band_id", "band_key")
-            .agg(F.count(F.lit(1)).alias("_bn"))
-            .filter(F.col("_bn") > max_bucket)
-            .select("band_id", "band_key")
-        )
-        bands = bands.join(F.broadcast(hot), ["band_id", "band_key"], "left_anti")
+        bands = _drop_hot_buckets(bands, ["band_id", "band_key"], max_bucket)
     l = bands.alias("l")
     r = bands.alias("r")
     return (
@@ -216,40 +299,91 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def simhash_near_pairs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    max_hamming: int = 2,
-    max_bucket: int | None = 500,
-) -> DataFrame:
-    """SimHash near-duplicate pairs: hamming distance ≤ ``max_hamming``
-    on the 16-bit signature, found WITHOUT an all-pairs comparison via
-    the pigeonhole banding the signature tier was missing — split 16
-    bits into ``max_hamming + 1`` disjoint bands; two signatures within
-    the distance bound must agree exactly on at least one band, so
-    candidates form only inside (band_id, band_value) buckets (one
-    equi-join shuffle), then ``bit_count(xor)`` verifies exactly.
-    Returns (id_a, id_b, hamming) with id_a < id_b.
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash — the corpus-scale signature width. Same zero-
+    shuffle in-row shape as ``simhash16``, but 2¹⁶ signature values
+    cannot separate 10⁸⁺ documents (every pigeonhole band bucket would
+    hold ~10⁶ docs, so the hot-bucket cap would drop them ALL and the
+    near-pair tier would silently return nothing); 2⁶⁴ keeps bucket
+    occupancy near one at any realistic corpus size.
 
-    max_hamming=2 → 3 bands of 6/5/5 bits. Same scale shape as the
-    MinHash tier: bucketed candidates, exact verify, no cartesian —
-    including the same hot-bucket cap (``max_bucket``, ON by default):
-    a 16-bit signature space over template-heavy corpora concentrates
-    thousands of near-identical docs into one band value, and the
-    bucket self-join would go quadratic there; such groups are
-    (near-)exact duplicates — the cheap exact-dedup tier's job, not
-    pairwise search.
+    Bit mapping (portable — the DuckDB oracle reproduces it exactly):
+    md5(token) has 32 hex nibbles; bit i (1-based, 1..64) reads nibble
+    ⌈i/2⌉ and uses its HIGH bit (value ≥ 8) for odd i, its SECOND bit
+    (value mod 8 ≥ 4) for even i — two independent uniform bits per
+    nibble, 64 total. Signed-long packing: bit 64 carries weight
+    −2⁶³ (two's complement), so the signature lands in one BIGINT on
+    both engines without overflow; band extraction masks after an
+    arithmetic shift, which is sign-safe, and xor/bit_count are
+    bit-pattern ops, so nothing downstream cares about the sign.
     """
+    hashes = F.transform(F.array_distinct(tx.tokens(text_col)), lambda t: F.md5(t))
+    # nibble values computed ONCE per hash (32 ints), not once per bit
+    nibbles = F.transform(
+        hashes,
+        lambda h: F.transform(
+            F.sequence(F.lit(1), F.lit(32)),
+            lambda p: F.conv(h.substr(p, F.lit(1)), 16, 10).cast("int"),
+        ),
+    )
+    sums = F.aggregate(
+        nibbles,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, nv: F.zip_with(
+            acc,
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda a, i: a
+            + F.when(
+                F.when(
+                    i % 2 == 1,
+                    F.element_at(nv, F.floor((i + 1) / 2).cast("int")) >= 8,
+                ).otherwise(
+                    F.element_at(nv, F.floor((i + 1) / 2).cast("int")) % 8 >= 4
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        ),
+    )
+    weights = F.array(
+        *[F.lit(1 << i) for i in range(63)], F.lit(-(1 << 63))
+    )
+    simhash = F.aggregate(
+        F.zip_with(
+            sums, weights, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    return (
+        docs.filter(F.size(tx.tokens(text_col)) > 0)
+        .select(F.col(id_col), simhash.alias("simhash"))
+    )
+
+
+def _simhash_bands(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int,
+    bits: int,
+) -> DataFrame:
+    """(id, simhash, band_id, band_val): pigeonhole banding — split the
+    signature into ``max_hamming + 1`` disjoint bands; two signatures
+    within the hamming bound must agree exactly on ≥1 band."""
+    if bits not in (16, 64):
+        raise ValueError(f"simhash bits must be 16 or 64, got {bits}")
     n_bands = max_hamming + 1
     widths: list[int] = []
-    base, rem = divmod(16, n_bands)
+    base, rem = divmod(bits, n_bands)
     for i in range(n_bands):
         widths.append(base + (1 if i < rem else 0))
-    sigs = simhash16(docs, id_col, text_col)
+    sigs = (simhash16 if bits == 16 else simhash64)(docs, id_col, text_col)
     offs = 0
     band_structs = []
     for b, w in enumerate(widths):
+        # arithmetic shiftright is sign-safe here: the mask keeps only
+        # the low w bits of the shifted value, which are exactly the
+        # signature's bits [offs, offs+w) regardless of sign extension
         band_structs.append(
             F.struct(
                 F.lit(b).alias("band_id"),
@@ -257,18 +391,62 @@ def simhash_near_pairs(
             )
         )
         offs += w
-    bands = sigs.select(
+    return sigs.select(
         id_col, "simhash", F.explode(F.array(*band_structs)).alias("band")
     ).select(id_col, "simhash", "band.band_id", "band.band_val")
+
+
+def simhash_cap_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 2,
+    bits: int = 16,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """Hot-bucket drop report for ``simhash_near_pairs`` at the same
+    parameters (see ``_cap_stats``). At corpus scale this is the
+    saturation alarm for the 16-bit tier: when n_docs_fully_excluded
+    approaches the corpus size, the signature space is saturated — use
+    ``bits=64``."""
+    bands = _simhash_bands(docs, id_col, text_col, max_hamming, bits)
+    return _cap_stats(
+        bands.drop("simhash"), ["band_id", "band_val"], id_col, max_bucket
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 2,
+    max_bucket: int | None = 500,
+    bits: int = 16,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: hamming distance ≤ ``max_hamming``
+    on the ``bits``-wide signature, found WITHOUT an all-pairs
+    comparison via pigeonhole banding — split the signature into
+    ``max_hamming + 1`` disjoint bands; two signatures within the
+    distance bound must agree exactly on at least one band, so
+    candidates form only inside (band_id, band_value) buckets (one
+    equi-join shuffle), then ``bit_count(xor)`` verifies exactly.
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+
+    bits=16, max_hamming=2 → 3 bands of 6/5/5 bits (sandbox default);
+    bits=64, max_hamming=3 → 4 bands of 16 bits (the corpus-scale
+    configuration — a 16-bit space saturates at 10⁸⁺ docs and the cap
+    would drop every bucket; see ``simhash64``). Same scale shape as
+    the MinHash tier: bucketed candidates, exact verify, no cartesian —
+    including the same hot-bucket cap (``max_bucket``, ON by default):
+    template-heavy corpora concentrate thousands of near-identical docs
+    into one band value, and the bucket self-join would go quadratic
+    there; such groups are (near-)exact duplicates — the cheap
+    exact-dedup tier's job, not pairwise search. What the cap drops is
+    observable via ``simhash_cap_stats`` at the same parameters.
+    """
+    bands = _simhash_bands(docs, id_col, text_col, max_hamming, bits)
     if max_bucket is not None:
-        bands = bands.localCheckpoint(eager=False)
-        hot = (
-            bands.groupBy("band_id", "band_val")
-            .agg(F.count(F.lit(1)).alias("_bn"))
-            .filter(F.col("_bn") > max_bucket)
-            .select("band_id", "band_val")
-        )
-        bands = bands.join(F.broadcast(hot), ["band_id", "band_val"], "left_anti")
+        bands = _drop_hot_buckets(bands, ["band_id", "band_val"], max_bucket)
     l = bands.alias("l")
     r = bands.alias("r")
     cand = (
@@ -297,6 +475,7 @@ def dedup_clusters(
     band_size: int = 2,
     shingle_n: int = 3,
     max_bucket: int | None = 500,
+    broadcast_threshold: int | None = 4_000_000,
 ) -> DataFrame:
     """Transitive near-duplicate CLUSTERS with a kept representative —
     the full dedup composition a corpus-curation pipeline actually
@@ -313,12 +492,18 @@ def dedup_clusters(
     union·pct) — exact, no float threshold drift across engines.
 
     Scale shape: the pair tiers are bucketed/candidate-only (see module
-    docstring); the component step runs on the PAIR graph (orders of
-    magnitude smaller than the corpus — only docs with a verified
-    near-dup appear), and the final assignment is a broadcast join of
-    that dimension-scale mapping against the corpus ids.
+    docstring); the component step runs on the PAIR graph (smaller than
+    the corpus — only docs with a verified near-dup appear). The final
+    assignment joins that mapping against the corpus ids — but on
+    template-heavy web corpora the mapping is a large FRACTION of the
+    corpus (every doc with a verified near-dup), so the broadcast hint
+    is size-GATED (``broadcast_threshold`` rows, measured on the
+    already-materialized mapping; None = never hint): under the gate
+    it's a map-side join, above it AQE picks the strategy from runtime
+    sizes — never a forced corpus-fraction broadcast.
     """
     from .canon import connected_components
+    from .util import gated_broadcast
 
     pairs = minhash_lsh_pairs(
         docs, id_col, text_col, num_hashes, band_size, shingle_n, max_bucket
@@ -334,7 +519,11 @@ def dedup_clusters(
     )
     out = (
         docs.select(id_col)
-        .join(F.broadcast(m), F.col(id_col) == F.col("_mid"), "left")
+        .join(
+            gated_broadcast(m, broadcast_threshold),
+            F.col(id_col) == F.col("_mid"),
+            "left",
+        )
         .select(
             F.col(id_col),
             F.coalesce("_rep", F.col(id_col)).alias("cluster_rep"),

@@ -168,7 +168,30 @@ def run_resumable(
                 .first()
             )
             recorded = int(latest_row["buckets"]) if latest_row else None
-        buckets = recorded if recorded is not None else auto_bucket_count(transcripts)
+        if recorded is None and ledger is not None:
+            # a ledger exists but records no bucket count (written by a
+            # pre-recording version): the auto count chosen now may
+            # differ from the one the on-disk layout was built under, in
+            # which case every fingerprint mismatches and the whole
+            # corpus re-runs. Say so — a silent full re-run reads as a
+            # resume bug, not a versioning consequence.
+            import sys
+            import warnings
+
+            auto = auto_bucket_count(transcripts)
+            msg = (
+                f"run_resumable(buckets=None): the ledger at {out_dir} "
+                "records no bucket count (pre-versioning ledger); using "
+                f"auto_bucket_count={auto}. If the existing layout was "
+                "built under a different count, no fingerprint will match "
+                "and ALL buckets will re-run. Pass buckets=<original "
+                "count> explicitly to resume the old layout."
+            )
+            warnings.warn(msg, stacklevel=2)
+            print(f"WARNING: {msg}", file=sys.stderr)
+            buckets = auto
+        else:
+            buckets = recorded if recorded is not None else auto_bucket_count(transcripts)
     tr = with_bucket(transcripts, buckets)
     fps = bucket_fingerprints(tr)
     # terms/isa_edges are inputs to every bucket's triples (linking,

@@ -58,6 +58,24 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def read_table_props(spark: SparkSession, table: str) -> dict:
+    """TBLPROPERTIES of ``table`` as a dict ({} if the table does not
+    exist) — carrier for the streaming replay guard on the Iceberg
+    path (the fallback's pointer-meta analogue)."""
+    try:
+        return {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+        }
+    except Exception:
+        return {}
+
+
+def set_table_props(spark: SparkSession, table: str, props: dict) -> None:
+    kv = ", ".join(f"'{k}' = '{v}'" for k, v in props.items())
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
+
+
 def merge_into_sql(
     table: str,
     src_view: str,
@@ -66,6 +84,8 @@ def merge_into_sql(
     mode: str = "latest_wins",
     merge_cols: list[str] | None = None,
     exclude_update_cols: list[str] | None = None,
+    add_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
 ) -> str:
     """MERGE INTO statement with the same observable semantics as the
     parquet-snapshot fallback. Pure string builder so the SQL shape is
@@ -77,6 +97,13 @@ def merge_into_sql(
       sorted-distinct unions of both sides' comma-splits (the
       order-insensitive ON MATCH aggregate of david_gene_name.cql:40-42)
       and take the batch value for every other column.
+    * ``additive``: matched rows SUM ``add_cols`` (``t.c = t.c + s.c``
+      — the streaming provenance merge's support counts), take
+      ``least`` for ``min_cols`` (stable dimension facts like
+      ``family``), and the batch value for every other column. This is
+      the O(|batch|) cluster form of the provenance snapshot merge:
+      each micro-batch touches only its own keys instead of rewriting
+      the whole snapshot.
     * ``exclude_update_cols``: columns omitted from the WHEN MATCHED
       update list — the target keeps its original value. This is how
       first-seen lineage columns (``first_seen_run``) survive upserts:
@@ -95,6 +122,17 @@ def merge_into_sql(
                     f"concat(split(coalesce(t.{c}, ''), ','), "
                     f"split(coalesce(s.{c}, ''), ','))), x -> x != '')), ',')"
                 )
+            else:
+                sets.append(f"t.{c} = s.{c}")
+    elif mode == "additive":
+        ac = set(add_cols or [])
+        mnc = set(min_cols or [])
+        sets = []
+        for c in value_cols:
+            if c in ac:
+                sets.append(f"t.{c} = t.{c} + s.{c}")
+            elif c in mnc:
+                sets.append(f"t.{c} = least(t.{c}, s.{c})")
             else:
                 sets.append(f"t.{c} = s.{c}")
     elif excl:
@@ -124,24 +162,42 @@ def _upsert_iceberg(
     mode: str,
     merge_cols: list[str] | None,
     exclude_update_cols: list[str] | None = None,
+    add_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
 ) -> None:
     """One atomic MERGE INTO commit (snapshot isolation) — the scale
     sink; the parquet snapshot dir is the sandbox stand-in."""
     spark = df.sparkSession
-    # MERGE requires a unique source key set: collapse the batch first
-    # (deterministic content tiebreak, same rule as the fallback)
-    value_cols = [c for c in df.columns if c not in keys]
-    tiebreak = (
-        F.xxhash64(*[F.col(c).cast("string") for c in value_cols])
-        if value_cols
-        else F.lit(0)
-    )
-    w = Window.partitionBy(*keys).orderBy(tiebreak)
-    batch = (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    # MERGE requires a unique source key set: collapse the batch first.
+    if mode == "additive":
+        # additive collapse: sums add within the batch, mins/firsts
+        # resolve deterministically — so a batch that emits a key twice
+        # contributes the same totals as two separate batches would
+        value_cols = [c for c in df.columns if c not in keys]
+        ac, mnc = set(add_cols or []), set(min_cols or [])
+        aggs = []
+        for c in value_cols:
+            if c in ac:
+                aggs.append(F.sum(c).alias(c))
+            elif c in mnc or c in set(exclude_update_cols or []):
+                aggs.append(F.min(c).alias(c))
+            else:
+                aggs.append(F.max(c).alias(c))
+        batch = df.groupBy(*keys).agg(*aggs).select(*df.columns)
+    else:
+        # deterministic content tiebreak, same rule as the fallback
+        value_cols = [c for c in df.columns if c not in keys]
+        tiebreak = (
+            F.xxhash64(*[F.col(c).cast("string") for c in value_cols])
+            if value_cols
+            else F.lit(0)
+        )
+        w = Window.partitionBy(*keys).orderBy(tiebreak)
+        batch = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     view = f"_kgflow_merge_src_{os.getpid()}"
     batch.createOrReplaceTempView(view)
     try:
@@ -151,7 +207,7 @@ def _upsert_iceberg(
         spark.sql(
             merge_into_sql(
                 table, view, batch.columns, keys, mode, merge_cols,
-                exclude_update_cols,
+                exclude_update_cols, add_cols, min_cols,
             )
         )
     finally:
@@ -167,6 +223,9 @@ def upsert(
     merge_cols: list[str] | None = None,
     iceberg_table: str | None = None,
     exclude_update_cols: list[str] | None = None,
+    add_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
+    meta: dict | None = None,
 ) -> None:
     """MERGE-semantics upsert: one row per key, highest ``order_col`` wins;
     ties broken deterministically by the remaining columns' hash (no
@@ -192,10 +251,23 @@ def upsert(
     path they are omitted from the WHEN MATCHED update list; the
     fallback resolves them with ``min_by(order_col)`` — earliest batch
     wins — so both sinks observe the same rule.
+
+    ``mode="additive"``: ``add_cols`` SUM across batches (``n_obs``
+    support counts), ``min_cols`` keep the minimum, other value columns
+    latest-batch-wins. On Iceberg this is an O(|batch|)-touch MERGE;
+    the fallback re-aggregates existing ∪ batch (the snapshot rewrite
+    the Iceberg path exists to avoid).
+
+    ``meta`` rides the fallback's snapshot pointer flip atomically
+    (ignored on the Iceberg path — commit metadata belongs in the
+    table's snapshot summary there).
     """
     spark = df.sparkSession
     if iceberg_table is not None and iceberg_available(spark):
-        _upsert_iceberg(df, iceberg_table, keys, mode, merge_cols, exclude_update_cols)
+        _upsert_iceberg(
+            df, iceberg_table, keys, mode, merge_cols, exclude_update_cols,
+            add_cols, min_cols,
+        )
         return
     existing = read_table(spark, path)
     # Monotonic batch sequence: next = max(existing) + 1, so two upserts
@@ -248,7 +320,44 @@ def upsert(
 
     if mode == "merge_props":
         merged = merge_props_resolve(batch, keys, merge_cols or [], order_col)
-        write_snapshot(_keep_first(merged) if excl else merged, path)
+        write_snapshot(_keep_first(merged) if excl else merged, path, meta=meta)
+        return
+    if mode == "additive":
+        ac, mnc = set(add_cols or []), set(min_cols or [])
+        value_cols = [c for c in batch.columns if c not in keys and c != order_col]
+        aggs = []
+        for c in value_cols:
+            if c in excl:
+                continue  # resolved by _keep_first below
+            if c in ac:
+                aggs.append(F.sum(c).alias(c))
+            elif c in mnc:
+                aggs.append(F.min(c).alias(c))
+            else:
+                aggs.append(
+                    F.max_by(F.col(c), F.struct(F.col(order_col), F.col(c))).alias(c)
+                )
+        aggs.append(F.max(order_col).alias(order_col))
+        merged = batch.groupBy(*keys).agg(*aggs)
+        if excl:
+            # first-writer-wins columns: earliest batch's value, null-safe
+            # join back on the keys (same contract as _keep_first)
+            firsts = batch.groupBy(*keys).agg(
+                *[
+                    F.min_by(F.col(c), F.struct(F.col(order_col), F.col(c))).alias(c)
+                    for c in excl
+                ]
+            )
+            cond = None
+            for k in keys:
+                c = merged[k].eqNullSafe(firsts[k])
+                cond = c if cond is None else cond & c
+            merged = (
+                merged.join(firsts, cond)
+                .drop(*[firsts[k] for k in keys])
+            )
+        merged = merged.select(*batch.columns)
+        write_snapshot(merged, path, meta=meta)
         return
     value_cols = [c for c in batch.columns if c not in keys and c != order_col]
     content_tiebreak = (
@@ -262,7 +371,7 @@ def upsert(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    write_snapshot(_keep_first(merged) if excl else merged, path)
+    write_snapshot(_keep_first(merged) if excl else merged, path, meta=meta)
 
 
 def merge_props_resolve(

@@ -91,6 +91,8 @@ def incremental_extract_prov(
     terms: DataFrame,
     isa_edges: DataFrame,
     run_prefix: str = "stream",
+    iceberg_table: str | None = None,
+    allow_unguarded: bool = False,
 ) -> int:
     """Incremental extraction that maintains a PROVENANCE-keyed triple
     snapshot instead of an append log: per micro-batch,
@@ -124,10 +126,32 @@ def incremental_extract_prov(
       with instructions instead. (The Iceberg form of the same guard is
       a MERGE conditioned on commit-property stream+batch ids.)
 
-    The merge is one groupBy on the triple key per batch — the same
-    shuffle the batch dedup already pays — against the current snapshot,
-    committed via the atomic pointer flip (Iceberg MERGE INTO is the
-    cluster form, materialize.upsert). Returns micro-batches processed.
+    The merge is committed per batch through ``materialize``:
+
+    * **Iceberg runtime present and ``iceberg_table`` given** — one
+      additive ``MERGE INTO`` (``upsert(mode="additive")``): matched
+      triple keys get ``n_obs = t.n_obs + s.n_obs`` etc., ``family``
+      via ``least``, ``first_seen_run`` excluded from the update list
+      (first writer wins). Per-drain cost is **O(|batch|)** touched
+      rows — the whole point: the parquet fallback below re-aggregates
+      existing ∪ batch, i.e. O(|snapshot|) per drain, which at 10⁹
+      accumulated triples pays a full-table shuffle+rewrite for every
+      small drop. The replay guard rides TBLPROPERTIES; note the
+      property write commits just AFTER the MERGE, so a crash exactly
+      between the two can replay one batch — production deployments
+      should attach the (stream_id, batch_id) pair as Iceberg snapshot
+      summary properties so the guard is commit-atomic, as the pointer
+      flip already is on the fallback path.
+    * **fallback** — the keyed parquet snapshot with the guard riding
+      the atomic pointer flip (exactly as before).
+
+    A snapshot that EXISTS but carries no stream_id meta (written by a
+    pre-guard version, or checkpoint metadata unreadable) is refused:
+    merging additively without replay protection can silently
+    double-count. Pass ``allow_unguarded=True`` to accept that risk
+    explicitly (a loud warning is still printed).
+
+    Returns micro-batches processed.
     """
     from ..plans import materialize as mat
     from ..plans import pipeline as P
@@ -137,22 +161,89 @@ def incremental_extract_prov(
     ckpt_loc = os.path.join(out_dir, "_stream_prov_checkpoint")
     stream = spark.readStream.schema(schemas.TRANSCRIPT).parquet(input_dir)
     batches = {"n": 0}
+    use_iceberg = iceberg_table is not None and mat.iceberg_available(spark)
+
+    def _check_guard(
+        meta: dict | None, stream_id: str | None, batch_id: int, where: str
+    ) -> bool:
+        """True → skip this batch (already merged). Raises on unsafe
+        states; returns False when the merge should proceed."""
+        if meta is None:
+            return False
+        if meta.get("stream_id") is None:
+            msg = (
+                f"incremental_extract_prov: the provenance snapshot at "
+                f"{where} exists but records no stream_id (pre-guard "
+                "version, or checkpoint metadata unreadable) — an "
+                "at-least-once replay would re-merge additively and "
+                "double-count n_obs/n_convs with no error. Delete the "
+                "snapshot to rebuild provenance from scratch, or pass "
+                "allow_unguarded=True to merge anyway."
+            )
+            if not allow_unguarded:
+                raise RuntimeError(msg)
+            import sys
+
+            print(f"WARNING: {msg} (allow_unguarded=True)", file=sys.stderr)
+            return False
+        if meta["stream_id"] != stream_id:
+            raise RuntimeError(
+                "incremental_extract_prov: the provenance snapshot at "
+                f"{where} was built by stream {meta['stream_id']} but "
+                f"this query is {stream_id} — the checkpoint was reset "
+                "while the snapshot was kept. Additive counts cannot "
+                "survive that: restore the original checkpoint, or delete "
+                "the snapshot to rebuild provenance from scratch."
+            )
+        return batch_id <= int(meta.get("merged_batch_id", -1))
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         stream_id = _stream_query_id(ckpt_loc)
+        if use_iceberg:
+            props = mat.read_table_props(spark, iceberg_table)
+            meta = None
+            if props.get("kgflow.stream_id") is not None or props.get(
+                "kgflow.merged_batch_id"
+            ) is not None:
+                meta = {
+                    "stream_id": props.get("kgflow.stream_id"),
+                    "merged_batch_id": int(props.get("kgflow.merged_batch_id", -1)),
+                }
+            elif spark.catalog.tableExists(iceberg_table):
+                meta = {"stream_id": None}  # table exists, no guard props
+            if _check_guard(meta, stream_id, batch_id, iceberg_table):
+                return
+            batches["n"] += 1
+            run_id = f"{run_prefix}-{batch_id:09d}"
+            new = P.build_triples_prov(
+                batch_df, terms, isa_edges, lex=lex, run_id=run_id
+            )
+            if spark.catalog.tableExists(iceberg_table):
+                # ontology rows are static dimension facts re-emitted by
+                # every batch; counted once (first batch) keeps n_obs exact
+                new = new.filter(F.col("family") != "ontology")
+            mat.upsert(
+                new,
+                path=snap_path,  # unused on the Iceberg route
+                keys=["subj", "pred", "obj"],
+                mode="additive",
+                add_cols=["n_obs", "n_convs"],
+                min_cols=["family"],
+                exclude_update_cols=["first_seen_run"],
+                iceberg_table=iceberg_table,
+            )
+            mat.set_table_props(
+                spark,
+                iceberg_table,
+                {
+                    "kgflow.stream_id": stream_id,
+                    "kgflow.merged_batch_id": batch_id,
+                },
+            )
+            return
         meta = mat.read_pointer_meta(snap_path)
-        if meta is not None and meta.get("stream_id") is not None:
-            if meta["stream_id"] != stream_id:
-                raise RuntimeError(
-                    "incremental_extract_prov: the provenance snapshot at "
-                    f"{snap_path} was built by stream {meta['stream_id']} but "
-                    f"this query is {stream_id} — the checkpoint was reset "
-                    "while the snapshot was kept. Additive counts cannot "
-                    "survive that: restore the original checkpoint, or delete "
-                    "the snapshot to rebuild provenance from scratch."
-                )
-            if batch_id <= meta.get("merged_batch_id", -1):
-                return  # at-least-once replay of an already-merged batch
+        if _check_guard(meta, stream_id, batch_id, snap_path):
+            return  # at-least-once replay of an already-merged batch
         batches["n"] += 1
         run_id = f"{run_prefix}-{batch_id:09d}"
         new = P.build_triples_prov(batch_df, terms, isa_edges, lex=lex, run_id=run_id)

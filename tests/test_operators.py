@@ -365,10 +365,18 @@ def test_redact_pii_patterns_and_order(spark):
             "mail me at <EMAIL> today",
         "docs at https://ex.com/a?user=a@b.com ok": "docs at <URL> ok",
         "host 192.168.0.1 up": "host <IP> up",
-        "call +1 555-010-9999 now": "call +1 <PHONE> now",
+        "call +1 555-010-9999 now": "call <PHONE> now",
         "call 5550109999 now": "call <PHONE> now",
         "plain text stays": "plain text stays",
         "ip 10.0.0.1 then (555)010-9999": "ip <IP> then <PHONE>",
+        # precision: dates / times / versions / short ids are NOT PII
+        "released 2026-08-17 at 12:30": "released 2026-08-17 at 12:30",
+        "version 1.2.3 and 1.22.333.4 ok": "version 1.2.3 and 1.22.333.4 ok",
+        "code 12345678 ok": "code 12345678 ok",
+        "id 123456789012345678 ok": "id 123456789012345678 ok",
+        # a 9-15 digit bare run is indistinguishable from a phone —
+        # redacting is the privacy-safe side
+        "order 123456789 shipped": "order <PHONE> shipped",
     }
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(cases)], "i long, t string"
