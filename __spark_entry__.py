@@ -763,7 +763,10 @@ def _sw_list() -> str:
     return "[" + ", ".join(f"'{w}'" for w in tx.STOPWORDS) + "]"
 
 
-def _minhash_cte(num_hashes: int = 8, band_size: int = 2, max_bucket: int = 500) -> str:
+def _minhash_bands_cte(num_hashes: int = 8, band_size: int = 2) -> str:
+    """Shared CTE prefix: documents → shingles → signatures → (doc_id,
+    band_id, band_key) band rows, UNcapped — the pairing oracle adds the
+    cap on top; the cap-stats oracle aggregates the raw bands."""
     sig_cols = ",\n    ".join(
         f"list_min(list_transform(shingles, s -> md5('{i}' || '|' || s))) AS sig_{i}"
         for i in range(num_hashes)
@@ -792,7 +795,11 @@ sigs AS (
 ),
 bands AS (
   {band_selects}
-),
+)"""
+
+
+def _minhash_cte(num_hashes: int = 8, band_size: int = 2, max_bucket: int = 500) -> str:
+    return _minhash_bands_cte(num_hashes, band_size) + f""",
 capped AS (
   -- hot-bucket cap: buckets holding > {max_bucket} docs are dropped
   -- before pairing (mirrors minhash_lsh_pairs(max_bucket={max_bucket}))
@@ -2197,12 +2204,163 @@ def _r4_oracles() -> dict[str, str]:
     }
 
 
+# ---------------------------------------------------------------------------
+# round 5: corpus-scale SimHash width + observable LSH caps
+# ---------------------------------------------------------------------------
+
+
+def q_simhash64(spark, sf):
+    """64-bit SimHash signature — the corpus-scale width (a 16-bit
+    space cannot separate 10⁸⁺ documents; every band bucket saturates).
+    Two uniform bits per md5 nibble, signed-long packing (bit 64 at
+    weight −2⁶³). dedup.simhash64; zero shuffle, pure codegen."""
+    return dedup.simhash64(_t(spark, sf, "documents"))
+
+
+def q_simhash64_near_pairs(spark, sf):
+    """SimHash near-pairs at the corpus-scale configuration: 64-bit
+    signatures, hamming ≤ 3 via 4 pigeonhole bands of 16 bits,
+    bit_count(xor) exact verify. dedup.simhash_near_pairs(bits=64)."""
+    return dedup.simhash_near_pairs(
+        _t(spark, sf, "documents"), max_hamming=3, bits=64
+    )
+
+
+def q_lsh_cap_stats(spark, sf):
+    """No-silent-caps observability: for both LSH tiers at max_bucket=3
+    (small enough that the cap bites on this corpus), how many buckets
+    the hot-bucket cap drops, how many band rows they held, and how
+    many documents lose EVERY band (total recall loss).
+    dedup.minhash_cap_stats / simhash_cap_stats."""
+    d = _t(spark, sf, "documents")
+    m = dedup.minhash_cap_stats(d, max_bucket=3).withColumn(
+        "tier", F.lit("minhash")
+    )
+    s = dedup.simhash_cap_stats(d, max_bucket=3).withColumn(
+        "tier", F.lit("simhash16")
+    )
+    return m.unionByName(s).select(
+        "tier", "n_buckets", "n_capped_buckets", "n_rows_dropped",
+        "n_docs_fully_excluded",
+    )
+
+
+_R5_QUERIES = {
+    "simhash64": q_simhash64,
+    "simhash64_near_pairs": q_simhash64_near_pairs,
+    "lsh_cap_stats": q_lsh_cap_stats,
+}
+
+
+def _simhash64_cte() -> str:
+    """documents → (doc_id, simhash) over the 64-bit signature; exact
+    mirror of dedup.simhash64's bit mapping."""
+    nib = "strpos('0123456789abcdef', substr(h, CAST((i + 1) // 2 AS INT), 1))"
+    return f"""
+WITH toks64 AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+),
+h64 AS (SELECT doc_id, md5(tok) AS h FROM toks64),
+pos64 AS (SELECT doc_id, h, unnest(generate_series(1, 64)) AS i FROM h64),
+contrib64 AS (
+  SELECT doc_id, i,
+    CASE WHEN i % 2 = 1
+         THEN CASE WHEN {nib} >= 9 THEN 1 ELSE -1 END
+         ELSE CASE WHEN ({nib} - 1) % 8 >= 4 THEN 1 ELSE -1 END
+    END AS c
+  FROM pos64),
+bits64 AS (SELECT doc_id, i, SUM(c) AS s FROM contrib64 GROUP BY doc_id, i),
+sim64 AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN s > 0 THEN
+        CASE WHEN i = 64 THEN (-9223372036854775807 - 1)
+             ELSE (1::BIGINT << CAST(i - 1 AS INT)) END
+        ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits64 GROUP BY doc_id
+)"""
+
+
+def _cap_stats_sql(bands_sql: str, key_expr: str, cap: int, tier: str) -> str:
+    """Aggregate a (doc_id, band_id, <key>) band set into the one-row
+    cap report, mirroring dedup._cap_stats."""
+    return f"""
+SELECT '{tier}' AS tier,
+       n_buckets, n_capped_buckets, n_rows_dropped, n_docs_fully_excluded
+FROM (
+  SELECT COUNT(*)::BIGINT AS n_buckets,
+         CAST(SUM(CASE WHEN bn > {cap} THEN 1 ELSE 0 END) AS BIGINT) AS n_capped_buckets,
+         CAST(SUM(CASE WHEN bn > {cap} THEN bn ELSE 0 END) AS BIGINT) AS n_rows_dropped
+  FROM (SELECT band_id, {key_expr}, COUNT(*) AS bn FROM ({bands_sql}) GROUP BY 1, 2)
+) b, (
+  SELECT CAST(SUM(CASE WHEN nb = nh THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_fully_excluded
+  FROM (
+    SELECT doc_id, COUNT(*) AS nb,
+           SUM(CASE WHEN bn > {cap} THEN 1 ELSE 0 END) AS nh
+    FROM (
+      SELECT doc_id, band_id, {key_expr},
+             COUNT(*) OVER (PARTITION BY band_id, {key_expr}) AS bn
+      FROM ({bands_sql})
+    ) GROUP BY doc_id
+  )
+) d"""
+
+
+def _r5_oracles() -> dict[str, str]:
+    base_simhash = _base_oracles()["simhash"]
+    sim64 = _simhash64_cte()
+    minhash_bands = (
+        _minhash_bands_cte() + "\nSELECT doc_id, band_id, band_key FROM bands"
+    )
+    simhash16_bands = f"""
+        WITH sim AS ({base_simhash})
+        SELECT doc_id, 0 AS band_id, simhash & 63 AS band_val FROM sim
+        UNION ALL
+        SELECT doc_id, 1, (simhash >> 6) & 31 FROM sim
+        UNION ALL
+        SELECT doc_id, 2, (simhash >> 11) & 31 FROM sim"""
+    return {
+        "simhash64": sim64 + "\nSELECT doc_id, simhash FROM sim64",
+        # 4 pigeonhole bands of 16 bits (arithmetic shift + mask is
+        # sign-safe), hot-bucket cap 500, bit_count(xor) <= 3 verify
+        "simhash64_near_pairs": sim64
+        + """,
+            bands0 AS (
+              SELECT doc_id, simhash, 0 AS band_id, simhash & 65535 AS band_val FROM sim64
+              UNION ALL
+              SELECT doc_id, simhash, 1, (simhash >> 16) & 65535 FROM sim64
+              UNION ALL
+              SELECT doc_id, simhash, 2, (simhash >> 32) & 65535 FROM sim64
+              UNION ALL
+              SELECT doc_id, simhash, 3, (simhash >> 48) & 65535 FROM sim64
+            ),
+            bands AS (
+              SELECT doc_id, simhash, band_id, band_val FROM bands0
+              QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_val) <= 500
+            ),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                     l.simhash AS sa, r.simhash AS sb
+              FROM bands l JOIN bands r
+                ON l.band_id = r.band_id AND l.band_val = r.band_val
+               AND l.doc_id < r.doc_id
+            )
+            SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 3""",
+        "lsh_cap_stats": (
+            _cap_stats_sql(minhash_bands, "band_key", 3, "minhash")
+            + "\nUNION ALL\n"
+            + _cap_stats_sql(simhash16_bands, "band_val", 3, "simhash16")
+        ),
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _base_queries()
     q.update(_LATE_QUERIES)
     q.update(_R2_QUERIES)
     q.update(_R3_QUERIES)
     q.update(_R4_QUERIES)
+    q.update(_R5_QUERIES)
     return q
 
 
@@ -2215,4 +2373,5 @@ def oracle_sql() -> dict[str, str]:
     o["doc_parse_xml"] = o["doc_parse_fields"]
     o["kg_prov_rollup"] = _KG_PROV_ROLLUP_SQL
     o.update(_r4_oracles())
+    o.update(_r5_oracles())
     return o

@@ -59,6 +59,10 @@ EXTRAS = [
     "pack_sequences",
     "pii_redact",
     "simhash_near_pairs",
+    # round-5 additions
+    "simhash64",
+    "simhash64_near_pairs",
+    "lsh_cap_stats",
 ]
 
 _CACHE_ROOT = os.environ.get("KGFLOW_BENCH_CACHE", "/tmp/kgflow_bench")
@@ -155,6 +159,18 @@ def main() -> None:
     # comparable across rounds
     extras, extras_spread = timed_passes(EXTRAS)
 
+    # no-silent-caps: the LSH hot-bucket drop COUNTS themselves (not
+    # just the query timing) ride the bench record
+    cap_stats = {
+        r["tier"]: {
+            "n_buckets": r["n_buckets"],
+            "n_capped_buckets": r["n_capped_buckets"],
+            "n_rows_dropped": r["n_rows_dropped"],
+            "n_docs_fully_excluded": r["n_docs_fully_excluded"],
+        }
+        for r in qs["lsh_cap_stats"](spark, sf_dir).collect()
+    }
+
     total = round(sum(times.values()), 3)
     out = {
         "metric": "headline_total",
@@ -164,6 +180,7 @@ def main() -> None:
         "spread": spreads,
         "extras": extras,
         "extras_spread": extras_spread,
+        "cap_stats": cap_stats,
         "trials": trials,
         "sf": sf,
         "kg": kg_stats,

@@ -409,3 +409,109 @@ def test_ledger_quality_lineage(spark, transcripts, lexicon, tmp_path):
     assert (got.avg_tokens, got.avg_ttr_q4, got.empty_turns) == (
         led[0].avg_tokens, led[0].avg_ttr_q4, led[0].empty_turns,
     )
+
+
+def test_merge_into_sql_additive(spark):
+    """The additive MERGE shape (streaming provenance merge, O(|batch|)
+    touched rows): add_cols sum onto the target, min_cols take least,
+    first-seen columns stay excluded, everything else latest-wins."""
+    sql = mat.merge_into_sql(
+        "cat.kg.triples_prov", "src",
+        ["subj", "pred", "obj", "family", "n_obs", "n_convs", "first_seen_run"],
+        ["subj", "pred", "obj"],
+        mode="additive",
+        add_cols=["n_obs", "n_convs"],
+        min_cols=["family"],
+        exclude_update_cols=["first_seen_run"],
+    )
+    matched = sql.split("WHEN MATCHED")[1].split("WHEN NOT MATCHED")[0]
+    assert "t.n_obs = t.n_obs + s.n_obs" in matched
+    assert "t.n_convs = t.n_convs + s.n_convs" in matched
+    assert "t.family = least(t.family, s.family)" in matched
+    assert "first_seen_run" not in matched
+    assert "WHEN NOT MATCHED THEN INSERT *" in sql
+    # the generated SET expressions are valid Spark SQL
+    assert spark.sql("SELECT 3 + 4 AS a, least('x', 'b') AS f").first()[1] == "b"
+
+
+def test_upsert_additive_fallback(spark, tmp_path):
+    """Parquet-fallback additive upsert: two drops accumulate support
+    counts exactly like a one-shot aggregate over the union — the same
+    observable semantics the Iceberg MERGE commits per batch."""
+    path = str(tmp_path / "prov")
+    cols = "k string, family string, n_obs long, n_convs long, first_seen_run string"
+    kw = dict(
+        keys=["k"], mode="additive", add_cols=["n_obs", "n_convs"],
+        min_cols=["family"], exclude_update_cols=["first_seen_run"],
+    )
+    mat.upsert(
+        spark.createDataFrame(
+            [("a", "mention", 2, 1, "run-1"), ("b", "ontology", 5, 3, "run-1")],
+            cols,
+        ),
+        path, **kw,
+    )
+    mat.upsert(
+        spark.createDataFrame(
+            [("a", "cooccur", 4, 2, "run-2"), ("c", "mention", 1, 1, "run-2")],
+            cols,
+        ),
+        path, **kw,
+    )
+    got = {
+        r.k: (r.family, r.n_obs, r.n_convs, r.first_seen_run)
+        for r in mat.read_table(spark, path)
+        .select("k", "family", "n_obs", "n_convs", "first_seen_run")
+        .collect()
+    }
+    assert got == {
+        "a": ("cooccur", 6, 3, "run-1"),  # summed, least(family), first run kept
+        "b": ("ontology", 5, 3, "run-1"),
+        "c": ("mention", 1, 1, "run-2"),
+    }
+    # a batch emitting one key twice contributes the same totals as two
+    # separate batches (additive collapse within the batch)
+    path2 = str(tmp_path / "prov2")
+    mat.upsert(
+        spark.createDataFrame(
+            [("a", "mention", 2, 1, "run-1"), ("a", "cooccur", 4, 2, "run-1")],
+            cols,
+        ),
+        path2, **kw,
+    )
+    r = mat.read_table(spark, path2).select("family", "n_obs", "n_convs").first()
+    assert (r.family, r.n_obs, r.n_convs) == ("cooccur", 6, 3)
+
+
+def test_resume_warns_on_ledger_without_bucket_count(
+    spark, transcripts, lexicon, tmp_path, capsys
+):
+    """A pre-versioning ledger (no 'buckets' column) resumed with
+    buckets=None must warn that the auto count may not match the
+    existing layout (silent full re-run otherwise looks like a bug)."""
+    import json
+    import os
+    import warnings
+
+    terms, isa = lexicon
+    d = str(tmp_path / "preledger")
+    cp.run_resumable(spark, transcripts, terms, isa, d, buckets=8)
+    # strip the recorded count, simulating a pre-round-4 ledger
+    ledger_dir = os.path.join(d, "_ledger")
+    for f in os.listdir(ledger_dir):
+        if not f.endswith(".json"):
+            continue
+        p = os.path.join(ledger_dir, f)
+        rows = [json.loads(line) for line in open(p)]
+        for r in rows:
+            r.pop("buckets", None)
+        with open(p, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        crc = os.path.join(ledger_dir, f".{f}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cp.run_resumable(spark, transcripts, terms, isa, d, buckets=None)
+    assert any("records no bucket count" in str(x.message) for x in w)

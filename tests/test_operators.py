@@ -577,3 +577,130 @@ def test_contamination_probe_ac_matches_literal_token_form(spark, tmp_path):
     d = dict(got)
     assert d["spark sql"] == 1  # doc 0 only — "pyspark sql" is a partial token
     assert d["vector index"] == 1 and d["merge upsert"] == 1
+
+
+def test_simhash64_near_pairs_equals_bruteforce(spark):
+    """64-bit tier (the corpus-scale width): banded candidates at
+    hamming <= 3 match an all-pairs bit_count check exactly, and the
+    signature matches an independent python md5 reference (two bits per
+    nibble, signed-long packing with bit 64 at weight -2^63)."""
+    import hashlib
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j * (1 + i % 3)) % 23}" for j in range(12)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def ref_sig(text):
+        toks = list(dict.fromkeys(text.lower().strip().split()))
+        sums = [0] * 64
+        for t in toks:
+            h = hashlib.md5(t.encode()).hexdigest()
+            for i in range(1, 65):
+                v = int(h[(i + 1) // 2 - 1], 16)
+                bit = (v >= 8) if i % 2 == 1 else ((v % 8) >= 4)
+                sums[i - 1] += 1 if bit else -1
+        sig = 0
+        for i in range(1, 65):
+            if sums[i - 1] > 0:
+                sig += (1 << (i - 1)) if i < 64 else -(1 << 63)
+        return sig
+
+    want_sig = {i: ref_sig(t) for i, t in rows}
+    got_sig = {r.doc_id: r.simhash for r in dedup.simhash64(docs).collect()}
+    assert got_sig == want_sig
+
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_near_pairs(docs, max_hamming=3, bits=64).collect()
+    }
+    ids = sorted(want_sig)
+    mask = (1 << 64) - 1
+    want = {
+        (a, b, bin((want_sig[a] ^ want_sig[b]) & mask).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((want_sig[a] ^ want_sig[b]) & mask).count("1") <= 3
+    }
+    assert got == want and want  # non-vacuous
+
+
+def test_cap_stats_match_manual(spark):
+    """The hot-bucket drop reports must agree with a manual recount of
+    the same banding, and n_docs_fully_excluded must equal the number
+    of docs the capped PAIRING actually silences (zero surviving
+    bands)."""
+    from collections import Counter
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j * (1 + i % 3)) % 23}" for j in range(12)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cap = 3
+    bands = dedup._simhash_bands(docs, "doc_id", "text", 2, 16).collect()
+    cnt = Counter((r.band_id, r.band_val) for r in bands)
+    hot = {k for k, n in cnt.items() if n > cap}
+    per_doc_all = Counter(r.doc_id for r in bands)
+    per_doc_hot = Counter(
+        r.doc_id for r in bands if (r.band_id, r.band_val) in hot
+    )
+    want = (
+        len(cnt),
+        len(hot),
+        sum(cnt[k] for k in hot),
+        sum(1 for d, n in per_doc_all.items() if per_doc_hot.get(d, 0) == n),
+    )
+    r = dedup.simhash_cap_stats(docs, max_bucket=cap).first()
+    got = (r.n_buckets, r.n_capped_buckets, r.n_rows_dropped, r.n_docs_fully_excluded)
+    assert got == want and want[1] > 0  # the cap actually bites here
+    # minhash tier: same contract
+    mb = dedup._minhash_bands(docs, "doc_id", "text", 8, 2, 3).collect()
+    mcnt = Counter((r.band_id, r.band_key) for r in mb)
+    mhot = {k for k, n in mcnt.items() if n > cap}
+    mall = Counter(r.doc_id for r in mb)
+    mhotc = Counter(r.doc_id for r in mb if (r.band_id, r.band_key) in mhot)
+    mwant = (
+        len(mcnt),
+        len(mhot),
+        sum(mcnt[k] for k in mhot),
+        sum(1 for d, n in mall.items() if mhotc.get(d, 0) == n),
+    )
+    mr = dedup.minhash_cap_stats(docs, max_bucket=cap).first()
+    assert (
+        mr.n_buckets, mr.n_capped_buckets, mr.n_rows_dropped,
+        mr.n_docs_fully_excluded,
+    ) == mwant
+
+
+def test_gated_broadcast_plan(spark):
+    """The mapping broadcast is size-gated: under the gate the join is
+    a BroadcastHashJoin; over it no hint is applied, and with auto
+    broadcast disabled the pre-execution plan falls back to a shuffle
+    join (at runtime AQE would still pick broadcast when sizes allow —
+    the point is that nothing FORCES a corpus-scale build side)."""
+    from kgflow.operators import canon
+
+    df = spark.range(200).select(F.col("id").cast("string").alias("x"))
+    mapping = spark.range(50).select(
+        F.col("id").cast("string").alias("id"),
+        F.lit("c").alias("canonical_id"),
+    ).localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = canon.apply_canonical(df, mapping, ["x"], broadcast_threshold=1000)
+        big = canon.apply_canonical(df, mapping, ["x"], broadcast_threshold=10)
+        never = canon.apply_canonical(df, mapping, ["x"], broadcast_threshold=None)
+        plan_small = small._jdf.queryExecution().executedPlan().toString()
+        plan_big = big._jdf.queryExecution().executedPlan().toString()
+        plan_never = never._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" in plan_small
+    assert "BroadcastHashJoin" not in plan_big
+    assert "BroadcastHashJoin" not in plan_never
+    # and the rewrite itself is unaffected by the strategy
+    assert small.filter(F.col("x") == "c").count() == 50
+    assert {r.x for r in big.collect()} == {r.x for r in small.collect()}

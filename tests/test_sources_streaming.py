@@ -306,3 +306,122 @@ def test_incremental_doc_stats(spark, tmp_path):
     incremental.incremental_doc_stats(spark, in_dir, out_dir)
     again = {tuple(r) for r in incremental.read_doc_stats(spark, out_dir).collect()}
     assert again == got
+
+
+def test_incremental_prov_unguarded_snapshot_refused(
+    spark, transcripts, lexicon, tmp_path
+):
+    """A snapshot that exists but carries no stream_id meta (pre-guard
+    version) must be REFUSED, not merged additively — an at-least-once
+    replay against it would silently double-count. allow_unguarded=True
+    overrides explicitly."""
+    import json
+    import os
+
+    import pytest
+
+    terms, isa = lexicon
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    transcripts.filter(F.col("conv_id") < "conv-000010").write.mode(
+        "append"
+    ).parquet(in_dir)
+    incremental.incremental_extract_prov(spark, in_dir, out_dir, terms, isa)
+    before = {
+        (r.subj, r.pred, r.obj): (r.n_obs, r.n_convs)
+        for r in incremental.read_prov_triples(spark, out_dir).collect()
+    }
+    # simulate the pre-guard snapshot: strip stream_id from the pointer
+    ptr = os.path.join(out_dir, "triples_prov", "_LATEST")
+    d = json.load(open(ptr))
+    d["meta"].pop("stream_id", None)
+    d["meta"].pop("merged_batch_id", None)
+    with open(ptr, "w") as fh:
+        json.dump(d, fh)
+    transcripts.filter(F.col("conv_id") >= "conv-000010").write.mode(
+        "append"
+    ).parquet(in_dir)
+    with pytest.raises(Exception, match="records no stream_id"):
+        incremental.incremental_extract_prov(spark, in_dir, out_dir, terms, isa)
+    # explicit override proceeds (and, with the drop being genuinely
+    # new data, lands the correct totals)
+    incremental.incremental_extract_prov(
+        spark, in_dir, out_dir, terms, isa, allow_unguarded=True
+    )
+    after = {
+        (r.subj, r.pred, r.obj): (r.n_obs, r.n_convs)
+        for r in incremental.read_prov_triples(spark, out_dir).collect()
+    }
+    assert set(before) <= set(after) and len(after) >= len(before)
+
+
+def test_incremental_prov_iceberg_two_drops(spark, transcripts, lexicon, tmp_path):
+    """The Iceberg route of the provenance merge: two conversation-
+    complete drops through additive MERGE INTO == the one-shot batch
+    aggregate. Runs only when the Iceberg runtime is on the classpath
+    (the sandbox ships none — the parquet-fallback twin of this
+    scenario is test_incremental_prov_additive)."""
+    import pytest
+
+    from kgflow.plans import materialize as mat
+    from kgflow.plans import pipeline as P
+
+    if not mat.iceberg_available(spark):
+        pytest.skip("Iceberg runtime not on the classpath")
+    terms, isa = lexicon
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    table = "iceberg_test.kg.triples_prov"
+    half1 = transcripts.filter(F.col("conv_id") < "conv-000015")
+    half2 = transcripts.filter(F.col("conv_id") >= "conv-000015")
+    half1.write.mode("append").parquet(in_dir)
+    incremental.incremental_extract_prov(
+        spark, in_dir, out_dir, terms, isa, iceberg_table=table
+    )
+    half2.write.mode("append").parquet(in_dir)
+    incremental.incremental_extract_prov(
+        spark, in_dir, out_dir, terms, isa, iceberg_table=table
+    )
+    got = {
+        (r.subj, r.pred, r.obj): (r.family, r.n_obs, r.n_convs)
+        for r in spark.table(table).collect()
+    }
+    oneshot = {
+        (r.subj, r.pred, r.obj): (r.family, r.n_obs, r.n_convs)
+        for r in P.build_triples_prov(transcripts, terms, isa).collect()
+    }
+    assert got == oneshot
+
+
+def test_pack_sequences_from_doc_stats(spark, tmp_path):
+    """Composition: the incrementally-maintained doc-stats table feeds
+    sequence packing WITHOUT re-tokenizing — pack output via
+    n_tokens_col over the maintained table is identical to packing from
+    raw text."""
+    import os
+
+    from kgflow.operators import sample
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"src{i % 2}", "en", " ".join(f"tok{j}" for j in range(3 + i % 7)))
+            for i in range(60)
+        ],
+        "doc_id long, source string, lang string, text string",
+    )
+    in_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "stats_out")
+    docs.write.mode("append").parquet(in_dir)
+    incremental.incremental_doc_stats(spark, in_dir, out_dir)
+    stats = incremental.read_doc_stats(spark, out_dir)
+    # doc_stats carries (doc_id, source, n_tokens): join nothing, pack it
+    from_stats = {
+        tuple(r)
+        for r in sample.pack_sequences(
+            stats, budget=16, n_tokens_col="n_tokens"
+        ).collect()
+    }
+    from_text = {
+        tuple(r) for r in sample.pack_sequences(docs, budget=16).collect()
+    }
+    assert from_stats == from_text and from_stats
