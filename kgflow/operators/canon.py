@@ -127,6 +127,7 @@ def connected_components(
     driver_threshold: int = 200_000,
     checkpoint_dir: str | None = None,
     verbose: bool = False,
+    encode_ids: bool | None = None,
 ) -> DataFrame:
     """(id, canonical_id) for every id reachable through same-as edges.
 
@@ -137,10 +138,16 @@ def connected_components(
     doubling), giving O(log d) rounds instead of O(d).
     """
     spark = edges.sparkSession
+    # No up-front dropDuplicates: duplicate edges change nothing in the
+    # min-merge (groupBy-min is duplicate-insensitive) and the first
+    # round's post-rewrite dedup absorbs them — an eager dedup here
+    # would pay a full edge-set shuffle (the single largest frame this
+    # operator touches) purely to re-derive what round 1 gets for free.
+    # Heavily-duplicated inputs carry their duplicates through exactly
+    # one rewrite before collapsing.
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
-        .dropDuplicates()
     )
     # Fast path: same-as graphs derived from ontology lexicons are
     # dimension-scale (the reference parses whole ontologies in the
@@ -256,23 +263,55 @@ def connected_components(
         # closure (PERF.md §17), and with string ids every one of those
         # rows ships a ~2×20-byte UTF8 key; encoding the ids against a
         # spilled (orig → long) dimension cuts shuffle bytes several-fold
-        # on exactly the rounds that dominate. The encoding is two
-        # hash-joins paid once; the decode at the end is one join plus a
-        # per-component min to restore canonical = min ORIGINAL id (the
-        # encoded labels are order-arbitrary, so the component minimum
-        # must be re-taken in the original id space). Numeric inputs
-        # skip all of this — they're already compact shuffle keys.
+        # on exactly the rounds that dominate.
+        #
+        # The encoding is ORDER-PRESERVING (range-partition the node
+        # set, rank within partitions, add partition offsets), which
+        # matters twice: (1) min-label semantics transfer exactly —
+        # min(enc) of a component IS the encoding of min(orig), so the
+        # decode is a plain dimension join with no per-component
+        # re-minimum; (2) the merge CASCADE matches the original-order
+        # cascade — real id spaces have locality (chains of adjacent
+        # ids), and an order-randomizing encode (measured with
+        # monotonically_increasing_id) halves round-1's merge rate and
+        # adds two full rounds. Numeric inputs skip all of this —
+        # they're already compact shuffle keys.
         # ------------------------------------------------------------------
-        encode = id_type not in ("bigint", "int", "smallint", "tinyint")
+        if encode_ids is None:
+            encode = id_type not in ("bigint", "int", "smallint", "tinyint")
+        else:
+            encode = encode_ids and id_type not in (
+                "bigint", "int", "smallint", "tinyint"
+            )
         if encode:
-            # monotonically_increasing_id is only stable within one
-            # evaluation — the spill write freezes the assignment before
-            # anything else reads it
-            dim = spill(
+            nparts = max(spark.sparkContext.defaultParallelism, 8)
+            # spill freezes the range partitioner's sampled bounds — a
+            # recompute could draw different bounds and shift every rank
+            marked = spill(
                 e.select(F.col("a").alias("orig"))
                 .union(e.select("b"))
                 .distinct()
-                .withColumn("enc", F.monotonically_increasing_id())
+                .repartitionByRange(nparts, "orig")
+                .select("orig", F.spark_partition_id().alias("_pid"))
+            )
+            counts = {
+                r["_pid"]: r["n"]
+                for r in marked.groupBy("_pid")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            offs_rows, acc = [], 0
+            for pid in sorted(counts):
+                offs_rows.append((pid, acc))
+                acc += counts[pid]
+            offs = spark.createDataFrame(offs_rows or [(0, 0)], "_pid int, _off long")
+            wenc = Window.partitionBy("_pid").orderBy("orig")
+            dim = spill(
+                marked.withColumn("_rn", F.row_number().over(wenc))
+                .join(F.broadcast(offs), "_pid")
+                .select(
+                    "orig", (F.col("_off") + F.col("_rn") - 1).alias("enc")
+                )
             )
             da = dim.select(F.col("orig").alias("_oa"), F.col("enc").alias("_ea"))
             db = dim.select(F.col("orig").alias("_ob"), F.col("enc").alias("_eb"))
@@ -281,18 +320,22 @@ def connected_components(
                 .join(db, e["b"] == db["_ob"])
                 .select(F.col("_ea").alias("a"), F.col("_eb").alias("b"))
             )
-            nodes = dim.select(F.col("enc").alias("id"))
+            # nodes carries orig beside the encoded id, so the final
+            # label join decodes the id side FOR FREE — only component
+            # representatives need a dimension lookup afterwards
+            nodes = dim.select(F.col("enc").alias("id"), "orig")
             loop_id_type = "bigint"
         else:
             e_work = e
             nodes = spill(e.select(F.col("a").alias("id")).union(e.select("b")).distinct())
             loop_id_type = id_type
-        # symmetric closure once; afterwards the edge set lives on the
+        # symmetric closure once (no dedup — a map-only write; round 1's
+        # contraction dedups); afterwards the edge set lives on the
         # shrinking label space
         e2 = spill(
             e_work.union(
                 e_work.select(F.col("b").alias("a"), F.col("a").alias("b"))
-            ).dropDuplicates()
+            )
         )
         # Per-round merge maps, composed ONCE at the end. Domains are
         # disjoint across rounds (a label that merges away is rewritten
@@ -382,22 +425,37 @@ def connected_components(
                     tail = spill(tail)
             tail = spill(tail)
             labels = nodes.join(tail, nodes["id"] == tail["_f"], "left").select(
-                "id", F.coalesce("_t", "id").alias("canonical_id")
+                *nodes.columns, F.coalesce("_t", F.col("id")).alias("canonical_id")
             )
         else:
-            labels = nodes.select("id", F.col("id").alias("canonical_id"))
+            labels = nodes.withColumn("canonical_id", F.col("id"))
         if encode:
-            # decode: one hash-join back through the spilled dimension,
-            # then restore canonical = min ORIGINAL id per component
-            # (the encoded component label is order-arbitrary)
-            d1 = dim.select(F.col("enc").alias("_e"), F.col("orig").alias("_o"))
+            # decode: order preservation makes min(enc) the encoding of
+            # min(orig), so canonical decodes through the same dimension
+            # — no per-component re-minimum; and since nodes carried
+            # orig through the label join, the id side is already
+            # decoded. Only the component REPRESENTATIVES need a lookup
+            # (≤ components, usually tiny → size-gated broadcast; the
+            # gate also avoids the skewed shuffle a giant component's
+            # repeated canonical key would create in a plain join).
+            from .util import gated_broadcast
+
             lab = spill(
-                labels.join(d1, labels["id"] == d1["_e"]).select(
-                    F.col("_o").alias("id"), F.col("canonical_id").alias("_ce")
+                labels.select(
+                    F.col("orig").alias("id"), F.col("canonical_id").alias("_ce")
                 )
             )
-            comp_min = lab.groupBy("_ce").agg(F.min("id").alias("canonical_id"))
-            labels = lab.join(comp_min, "_ce").select("id", "canonical_id")
+            reps = lab.select("_ce").distinct()
+            cdim = spill(
+                dim.join(reps, dim["enc"] == reps["_ce"], "left_semi").select(
+                    F.col("enc").alias("_ce2"), F.col("orig").alias("canonical_id")
+                )
+            )
+            labels = lab.join(
+                gated_broadcast(cdim, 4_000_000), lab["_ce"] == cdim["_ce2"]
+            ).select("id", "canonical_id")
+        else:
+            labels = labels.select("id", "canonical_id")
         out = labels.localCheckpoint(eager=True)
     finally:
         _hadoop_rm(spark, spill_dir)

@@ -69,7 +69,21 @@ nxt = tr.select("conv_id", "turn_idx").withColumn(
     "next_idx", F.lead("turn_idx").over(w)).filter(F.col("next_idx").isNotNull())
 out["next_turn_window"] = timed(lambda: nxt.count())
 
-# stage 5: full DAG incl. final global dedup shuffle (end-to-end)
+# stage 5: sequence packing under the documented 100 TB shard story
+# (sample.py stream_cols): a fixed 64-way conv-hash shard column is the
+# parallelism unit, so no single stream serializes the prefix-sum
+# window — packing must scale with cores like any other stage. Work is
+# identical at both levels (shard count fixed, independent of cores).
+from kgflow.operators import sample
+docs = tr.select(
+    F.concat_ws(":", "conv_id", F.col("turn_idx").cast("string")).alias("doc_id"),
+    F.pmod(F.xxhash64("conv_id"), F.lit(64)).alias("shard"),
+    "text",
+)
+packed = sample.pack_sequences(docs, budget=2048, stream_cols=["shard"])
+out["pack_shards"] = timed(lambda: packed.count())
+
+# stage 6: full DAG incl. final global dedup shuffle (end-to-end)
 out["full_dag"] = timed(lambda: P.build_triples(tr, terms, isa, lex=lex).count())
 
 print(json.dumps(out))
