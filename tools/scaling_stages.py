@@ -81,7 +81,11 @@ docs = tr.select(
     "text",
 )
 packed = sample.pack_sequences(docs, budget=2048, stream_cols=["shard"])
-out["pack_shards"] = timed(lambda: packed.count())
+# agg over the window outputs so the optimizer cannot prune the
+# prefix-sum away (a bare count() skips the whole window)
+out["pack_shards"] = timed(lambda: packed.agg(
+    F.max("bin_id"), F.bit_xor(F.xxhash64("doc_id", "bin_id", "bin_offset"))
+).collect())
 
 # stage 6: full DAG incl. final global dedup shuffle (end-to-end)
 out["full_dag"] = timed(lambda: P.build_triples(tr, terms, isa, lex=lex).count())
