@@ -2245,10 +2245,53 @@ def q_lsh_cap_stats(spark, sf):
     )
 
 
+def q_paragraph_dedup(spark, sf):
+    """C4/CCNet-style boilerplate removal (dedup.paragraph_dedup):
+    corpus-wide exact paragraph dedup keeping only the first
+    occurrence — smallest (doc_id, position) — of each distinct unit,
+    then reassembling documents from their surviving units in order.
+    The synthetic corpus has no blank-line structure, so the demo
+    splits on the corpus's most frequent stopword (' the '), making
+    multi-word chunks the dedup unit; the plumbing — split,
+    posexplode, map-side-combining first-occurrence aggregate,
+    joinless reassembly — is identical at any unit size."""
+    return dedup.paragraph_dedup(
+        _t(spark, sf, "documents"), sep=" the ", join_sep=" the "
+    )
+
+
+def q_cc_retract(spark, sf):
+    """Retraction-aware incremental CC (canon.retract_components):
+    deterministic same-as chains over part keys (edge k→k+1 unless
+    k%10==0: chains of ten), then the k%10==5 links are withdrawn
+    (every chain splits in two) and the k%50==1 links too (isolating
+    each affected chain head as a singleton that keeps its mapping
+    row). The retraction list arrives in REVERSED orientation to
+    exercise the unordered-pair matching. Oracle: recursive-CTE
+    closure over the surviving edges + self-rows for edge-less nodes."""
+    from kgflow.operators import canon
+
+    k = F.col("k")
+    base = (
+        _t(spark, sf, "part")
+        .select(F.col("p_partkey").alias("k"))
+        .filter((k % 10) != 0)
+    )
+    pid = lambda c: F.concat(F.lit("P"), c.cast("string"))
+    edges = base.select(pid(k).alias("id_a"), pid(k + 1).alias("id_b"))
+    removed = base.filter(((k % 10) == 5) | ((k % 50) == 1)).select(
+        pid(k + 1).alias("id_a"), pid(k).alias("id_b")
+    )
+    m0 = canon.connected_components(edges)
+    return canon.retract_components(m0, edges, removed)
+
+
 _R5_QUERIES = {
     "simhash64": q_simhash64,
     "simhash64_near_pairs": q_simhash64_near_pairs,
     "lsh_cap_stats": q_lsh_cap_stats,
+    "cc_retract": q_cc_retract,
+    "paragraph_dedup": q_paragraph_dedup,
 }
 
 
@@ -2351,6 +2394,57 @@ def _r5_oracles() -> dict[str, str]:
             + "\nUNION ALL\n"
             + _cap_stats_sql(simhash16_bands, "band_val", 3, "simhash16")
         ),
+        # min-label closure over the SURVIVING chain edges; nodes whose
+        # every edge was withdrawn fall back to themselves via the LEFT
+        # JOIN — exactly retract_components' singleton semantics.
+        # (Non-recursive CTEs here avoid bare two-branch UNION: under
+        # WITH RECURSIVE, DuckDB 1.0 treats that shape as a recursive
+        # fixpoint and skips the cross-branch dedup.)
+        "cc_retract": """
+            WITH RECURSIVE base AS (
+              SELECT p_partkey AS k FROM part WHERE p_partkey % 10 <> 0
+            ), surv AS (
+              SELECT 'P' || CAST(k AS VARCHAR) AS a,
+                     'P' || CAST(k + 1 AS VARCHAR) AS b
+              FROM base WHERE k % 10 <> 5 AND k % 50 <> 1
+            ), nodes AS (
+              SELECT DISTINCT id FROM (
+                SELECT 'P' || CAST(k AS VARCHAR) AS id FROM base
+                UNION ALL
+                SELECT 'P' || CAST(k + 1 AS VARCHAR) FROM base)
+            ), und AS (
+              SELECT a AS u, b AS v FROM surv
+              UNION ALL SELECT b AS u, a AS v FROM surv
+            ), reach(u, l) AS (
+              SELECT u, u FROM und
+              UNION
+              SELECT und.u, reach.l FROM und JOIN reach ON reach.u = und.v
+            ), comp AS (
+              SELECT u AS id, MIN(l) AS rep FROM reach GROUP BY u
+            )
+            SELECT n.id, coalesce(c.rep, n.id) AS canonical_id
+            FROM nodes n LEFT JOIN comp c ON c.id = n.id""",
+        # first-occurrence = ROW_NUMBER over (doc_id, pos) — the
+        # window form mirrors Spark's min(struct) exactly because
+        # (doc_id, pos) is unique
+        "paragraph_dedup": """
+            WITH parts AS (
+              SELECT doc_id, unnest(arr) AS para,
+                     unnest(generate_series(0, len(arr) - 1)) AS pos
+              FROM (SELECT doc_id, regexp_split_to_array(text, ' the ') AS arr
+                    FROM documents)
+            ), np AS (
+              SELECT * FROM parts WHERE trim(para) <> ''
+            ), k AS (
+              SELECT doc_id, pos, para,
+                     ROW_NUMBER() OVER (PARTITION BY para
+                                        ORDER BY doc_id, pos) AS rn
+              FROM np
+            )
+            SELECT doc_id,
+                   string_agg(para, ' the ' ORDER BY pos) AS text,
+                   COUNT(*)::BIGINT AS n_kept
+            FROM k WHERE rn = 1 GROUP BY doc_id""",
     }
 
 

@@ -523,6 +523,104 @@ def update_components(
     return updated_old.unionByName(new_rows)
 
 
+def retract_components(
+    mapping: DataFrame,
+    edges: DataFrame,
+    removed_edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    broadcast_threshold: int | None = 4_000_000,
+    **cc_kwargs,
+) -> DataFrame:
+    """Incrementally maintain a ``connected_components`` mapping under
+    edge RETRACTIONS — the deletion half of entity consolidation (an
+    ontology drop withdraws a same-as assertion, a curation pass
+    revokes a bad cross-reference; the reference's per-MERGE idiom has
+    no answer short of a full rebuild, cf.
+    src/BioOntologyKG/importers/go/import_go_obo.py:64-145).
+
+    A deletion can SPLIT a component, which no one-hop label
+    composition can express, so the algorithm is tombstone-and-
+    recompute at COMPONENT granularity:
+
+    1. affected components = the components owning any endpoint of a
+       removed edge (a same-as edge always lies inside one component);
+    2. their surviving edge set = the component-local slice of
+       ``edges`` minus ``removed_edges``, matched as UNORDERED pairs
+       (``least``/``greatest`` normalization), so orientation
+       differences between the edge table and the retraction list
+       cannot leak a withdrawn link past the filter. A listed pair is
+       withdrawn entirely — every duplicate copy of it goes;
+    3. re-run CC on that |affected-subgraph|-sized slice; members that
+       lost their every edge stay in the mapping as singletons (their
+       own canonical) — an entity does not vanish because its links
+       were withdrawn;
+    4. untouched components keep their rows verbatim.
+
+    For a batch carrying both retractions and additions, retract
+    first, then feed the additions to :func:`update_components`: the
+    result equals from-scratch CC on ``(edges - removed) + added``
+    (re-adding a just-removed pair included).
+
+    Scale shape: the corpus-scale frames (``mapping``, ``edges``) are
+    touched by ONE semi/anti-join each against the affected-component
+    set, which is sized by the retraction batch, not the corpus — the
+    small sides are size-gated broadcasts (``gated_broadcast``), so a
+    pathological batch touching half the graph degrades to AQE-chosen
+    shuffle joins instead of a driver OOM. The CC re-run sees only the
+    affected subgraph. On a real deployment mapping and edges are
+    bucketed by id/canonical, making the big-side joins co-located.
+    """
+    from .util import gated_broadcast
+
+    def norm(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        ).filter(
+            F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
+        )
+
+    e, r = norm(edges), norm(removed_edges)
+    # canonical labels of every component a removed edge touches; the
+    # retraction batch bounds this set, not the corpus
+    endpoints = (
+        r.select(F.col("a").alias("id"))
+        .unionByName(r.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    affected = (
+        mapping.join(gated_broadcast(endpoints, broadcast_threshold), "id", "left_semi")
+        .select("canonical_id")
+        .distinct()
+    )
+    affected_b = gated_broadcast(affected, broadcast_threshold)
+    # full membership of the affected components (includes nodes about
+    # to become singletons)
+    members = mapping.join(affected_b, "canonical_id", "left_semi").select(
+        "id", "canonical_id"
+    )
+    # an edge lies inside an affected component iff either endpoint
+    # does (both always do — edges never cross components), so one
+    # semi-join on `a` slices the corpus-scale edge table
+    member_ids = members.select("id").withColumnRenamed("id", "_aid")
+    surviving = e.join(
+        gated_broadcast(member_ids, broadcast_threshold),
+        e["a"] == F.col("_aid"),
+        "left_semi",
+    ).join(r, ["a", "b"], "left_anti")
+    recomputed = connected_components(surviving, src="a", dst="b", **cc_kwargs)
+    singletons = (
+        members.select("id")
+        .join(recomputed.select("id"), "id", "left_anti")
+        .select("id", F.col("id").alias("canonical_id"))
+    )
+    untouched = mapping.join(affected_b, "canonical_id", "left_anti").select(
+        "id", "canonical_id"
+    )
+    return untouched.unionByName(recomputed).unionByName(singletons)
+
+
 def apply_canonical(
     df: DataFrame,
     mapping: DataFrame,

@@ -612,3 +612,64 @@ def embedding_near_duplicates_exact(
         "id_a", "id_b", F.round(vector.cosine("v_a", "v_b"), 4).alias("cosine")
     )
     return scored.filter(F.col("cosine") >= threshold)
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = r"\n\n",
+    join_sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (the C4/CCNet
+    boilerplate-removal pass): split every document on ``sep`` (a Java
+    regex; default blank-line paragraphs), keep only the FIRST
+    occurrence of each distinct paragraph across the whole corpus —
+    first = smallest (``id_col``, position) — and reassemble each
+    document from its surviving paragraphs in original order.
+    Cookie banners, license headers and navigation chrome shared by
+    thousands of pages survive exactly once, in the first document
+    that carries them. Documents whose every paragraph was seen
+    earlier disappear from the output.
+
+    Returns (``id_col``, ``text_col``, n_kept) with paragraphs
+    re-joined by ``join_sep``.
+
+    Scale shape: two shuffles total. Candidate selection is a groupBy
+    on ``md5(paragraph)`` whose ``min(struct(id, pos, paragraph))``
+    aggregate combines MAP-SIDE, so a boilerplate paragraph repeated
+    on 10⁷ pages contributes one row per input partition to the
+    exchange, not 10⁷ — hot paragraphs (the very thing this operator
+    exists for) cannot become hot shuffle keys. Reassembly never joins
+    back to the corpus: the winning (id, pos, paragraph) rows ARE the
+    output, one id-keyed shuffle away. The paragraph text crosses the
+    wire once inside the min-struct; the 32-hex key replaces
+    arbitrarily long paragraph keys.
+    """
+    parts = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+    ).filter(F.trim("_para") != "")
+    # (_id, _pos) is unique, so _para never participates in the
+    # ordering — it rides the struct to avoid a join back
+    winners = parts.groupBy(F.md5(F.col("_para")).alias("_h")).agg(
+        F.min(F.struct("_id", "_pos", "_para")).alias("_f")
+    )
+    return (
+        winners.select(
+            F.col("_f._id").alias(id_col),
+            F.col("_f._pos").alias("_pos"),
+            F.col("_f._para").alias("_para"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_para"))),
+                    lambda s: s["_para"],
+                ),
+                join_sep,
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )

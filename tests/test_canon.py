@@ -211,3 +211,94 @@ def test_cc_matches_union_find(spark, pairs):
         for r in canon.connected_components(edges, driver_threshold=0).collect()
     }
     assert got == set(exp_map.items())
+
+
+def test_retract_components_split_and_singleton(spark):
+    """A retraction that splits a chain, one that isolates a node
+    (singleton keeps its mapping row), a reversed-orientation listing,
+    and an untouched component staying byte-identical."""
+    edges = spark.createDataFrame(
+        # chain a-b-c-d, pair (m,n) about to be fully isolated,
+        # untouched component (p,q)
+        [("a", "b"), ("b", "c"), ("c", "d"), ("m", "n"), ("p", "q")],
+        "id_a string, id_b string",
+    )
+    m0 = canon.connected_components(edges)
+    removed = spark.createDataFrame(
+        # (c,b) reversed vs the edge table's (b,c); (n,m) reversed too
+        [("c", "b"), ("n", "m")], "id_a string, id_b string"
+    )
+    got = {
+        (r.id, r.canonical_id)
+        for r in canon.retract_components(m0, edges, removed).collect()
+    }
+    assert got == {
+        ("a", "a"), ("b", "a"),          # left half of the split chain
+        ("c", "c"), ("d", "c"),          # right half
+        ("m", "m"), ("n", "n"),          # both isolated, rows retained
+        ("p", "p"), ("q", "p"),          # untouched
+    }
+
+
+def test_retract_components_randomized_vs_scratch(spark):
+    """Randomized graphs: retracting any subset equals scratch CC on
+    the surviving edges, plus self-rows for mapping members that lost
+    every edge."""
+    import random
+
+    rng = random.Random(47)
+    mk = lambda rows: spark.createDataFrame(rows, "id_a string, id_b string")
+    for _ in range(4):
+        edges = list(
+            {
+                (f"n{rng.randint(0, 18):02d}", f"n{rng.randint(0, 18):02d}")
+                for _ in range(16)
+            }
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        if len(edges) < 4:
+            continue
+        removed = rng.sample(edges, rng.randint(1, len(edges) - 1))
+        surviving = [
+            (a, b)
+            for a, b in edges
+            if tuple(sorted((a, b))) not in {tuple(sorted(r)) for r in removed}
+        ]
+        m0 = canon.connected_components(mk(edges))
+        got = {
+            tuple(r)
+            for r in canon.retract_components(m0, mk(edges), mk(removed)).collect()
+        }
+        want = (
+            {tuple(r) for r in canon.connected_components(mk(surviving)).collect()}
+            if surviving
+            else set()
+        )
+        covered = {i for i, _ in want}
+        want |= {
+            (i, i)
+            for pair in edges
+            for i in pair
+            if i not in covered
+        }
+        assert got == want, (edges, removed)
+
+
+def test_retract_then_add_equals_scratch(spark):
+    """The documented composition: retract first, then
+    update_components with the additions == one-shot CC on
+    (edges - removed) + added — including re-adding a removed pair."""
+    mk = lambda rows: spark.createDataFrame(rows, "id_a string, id_b string")
+    edges = mk([("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")])
+    removed = mk([("b", "c"), ("x", "y")])
+    added = mk([("d", "e"), ("x", "y")])  # (x,y) re-added after retraction
+    m0 = canon.connected_components(edges)
+    m1 = canon.retract_components(m0, edges, removed)
+    got = {tuple(r) for r in canon.update_components(m1, added).collect()}
+    want = {
+        tuple(r)
+        for r in canon.connected_components(
+            mk([("a", "b"), ("c", "d"), ("d", "e"), ("x", "y")])
+        ).collect()
+    }
+    assert got == want

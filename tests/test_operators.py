@@ -704,3 +704,31 @@ def test_gated_broadcast_plan(spark):
     # and the rewrite itself is unaffected by the strategy
     assert small.filter(F.col("x") == "c").count() == 50
     assert {r.x for r in big.collect()} == {r.x for r in small.collect()}
+
+
+def test_paragraph_dedup_boilerplate(spark):
+    """Shared boilerplate survives once (in the smallest (doc, pos)
+    slot), surviving paragraphs keep document order, a document made
+    entirely of already-seen paragraphs disappears, and n_kept counts
+    the survivors."""
+    from kgflow.operators import dedup
+
+    boiler = "accept our cookies"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one\n\n{boiler}\n\nbody one"),
+            (2, f"{boiler}\n\nbody two"),
+            (3, f"{boiler}\n\nintro one"),  # nothing new -> dropped
+            (4, "body two\n\n\n\nfresh tail"),  # empty para filtered
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text, r.n_kept)
+        for r in dedup.paragraph_dedup(docs).collect()
+    }
+    assert got == {
+        1: (f"intro one\n\n{boiler}\n\nbody one", 3),
+        2: ("body two", 1),
+        4: ("fresh tail", 1),
+    }
