@@ -2245,6 +2245,38 @@ def q_lsh_cap_stats(spark, sf):
     )
 
 
+# shared by the Spark query and the DuckDB oracle so the two can never
+# disagree on the mixture definition
+_MIX_WEIGHTS = {"src0": 2.0, "src1": 1.0, "src2": 1.0}
+_MIX_BUDGET = 20_000
+
+
+def q_source_mix_plan(spark, sf):
+    """Domain-mixing plan (sample.source_mix_plan): per-source
+    available tokens, target share of a 20k-token budget at weights
+    2:1:1, and the derived keep rate. src0's target exceeds its supply
+    at sf0.01, pinning its rate at 1 — the under-supplied-source case
+    made visible (no-silent-caps)."""
+    from kgflow.operators import sample
+
+    return sample.source_mix_plan(
+        _t(spark, sf, "documents"), _MIX_WEIGHTS, _MIX_BUDGET
+    )
+
+
+def q_source_mix(spark, sf):
+    """Token-budget mixture sampling (sample.source_mix_sample): keep
+    each source's deterministic md5-threshold fraction sized so its
+    expected token volume hits budget · weight / Σweights. Same hash
+    family as every sampler, so mixes compose with uniform/stratified
+    samples."""
+    from kgflow.operators import sample
+
+    return sample.source_mix_sample(
+        _t(spark, sf, "documents"), _MIX_WEIGHTS, _MIX_BUDGET
+    ).select("doc_id", "source", "n_tokens")
+
+
 def q_paragraph_dedup(spark, sf):
     """C4/CCNet-style boilerplate removal (dedup.paragraph_dedup):
     corpus-wide exact paragraph dedup keeping only the first
@@ -2292,6 +2324,8 @@ _R5_QUERIES = {
     "lsh_cap_stats": q_lsh_cap_stats,
     "cc_retract": q_cc_retract,
     "paragraph_dedup": q_paragraph_dedup,
+    "source_mix_plan": q_source_mix_plan,
+    "source_mix": q_source_mix,
 }
 
 
@@ -2346,6 +2380,19 @@ FROM (
     ) GROUP BY doc_id
   )
 ) d"""
+
+
+def _mix_target_sql() -> str:
+    """budget · weight / Σweights as a SQL CASE whose constants are the
+    exact Python floats _mix_target folds into Spark literals. The CASE
+    is cast to DOUBLE because DuckDB types dotted literals as DECIMAL —
+    which would reach Python as decimal.Decimal and hash differently."""
+    wsum = float(sum(_MIX_WEIGHTS.values()))
+    arms = " ".join(
+        f"WHEN '{k}' THEN {_MIX_BUDGET * v / wsum!r}"
+        for k, v in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"CAST((CASE source {arms} ELSE 0.0 END) AS DOUBLE)"
 
 
 def _r5_oracles() -> dict[str, str]:
@@ -2445,6 +2492,38 @@ def _r5_oracles() -> dict[str, str]:
                    string_agg(para, ' the ' ORDER BY pos) AS text,
                    COUNT(*)::BIGINT AS n_kept
             FROM k WHERE rn = 1 GROUP BY doc_id""",
+        # the python-side target constants below are the SAME floats
+        # _mix_target folds into Spark literals, so the IEEE division
+        # and floor(threshold) agree bit-for-bit across engines
+        "source_mix_plan": f"""
+            WITH tok AS (
+              SELECT source, len({_TOKS}) AS n FROM documents
+            ), tot AS (
+              SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens_total
+              FROM tok GROUP BY source
+            )
+            SELECT source, n_tokens_total,
+              round({_mix_target_sql()}, 2) AS target_tokens,
+              round(least(1.0, {_mix_target_sql()} / n_tokens_total), 6)
+                AS rate
+            FROM tot""",
+        "source_mix": f"""
+            WITH tok AS (
+              SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+              FROM documents
+            ), tot AS (
+              SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS nt
+              FROM tok GROUP BY source
+            ), thr AS (
+              SELECT source,
+                CAST(floor(least(1.0, {_mix_target_sql()} / nt)
+                           * 4294967296.0) AS BIGINT) AS thr
+              FROM tot
+            )
+            SELECT t.doc_id, t.source, t.n_tokens
+            FROM tok t JOIN thr USING (source)
+            WHERE CAST(('0x' || substr(md5('kgflow|' || t.doc_id), 1, 8))
+                       AS BIGINT) < thr.thr""",
     }
 
 

@@ -63,6 +63,9 @@ EXTRAS = [
     "simhash64",
     "simhash64_near_pairs",
     "lsh_cap_stats",
+    "cc_retract",
+    "paragraph_dedup",
+    "source_mix",
 ]
 
 _CACHE_ROOT = os.environ.get("KGFLOW_BENCH_CACHE", "/tmp/kgflow_bench")

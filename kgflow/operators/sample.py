@@ -148,3 +148,117 @@ def pack_sequences(
         F.floor(cum / budget).cast("long").alias("bin_id"),
         (cum % budget).cast("long").alias("bin_offset"),
     )
+
+
+def source_mix_plan(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    strat_col: str = "source",
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
+) -> DataFrame:
+    """The domain-mixing plan of a pretraining run: given per-source
+    mixture ``weights`` and a total ``token_budget``, measure each
+    source's available tokens and derive its deterministic keep rate.
+
+    target_tokens(s) = budget · weights[s] / Σweights;
+    rate(s) = min(1, target / available). A rate pinned at 1 is an
+    UNDER-SUPPLIED source — the corpus cannot fill its slice of the
+    mixture, visible here rather than silently absorbed (the repo's
+    no-silent-caps rule). Sources absent from ``weights`` get rate 0:
+    excluded from the mix by construction, and visibly so in the plan.
+
+    Returns (``strat_col``, n_tokens_total, target_tokens, rate) —
+    one row per source present in the corpus. One map-side-combining
+    aggregate over the corpus; everything downstream of it is
+    dimension-sized.
+    """
+    from ..functions import text as tx
+
+    tok = (
+        F.col(n_tokens_col) if n_tokens_col is not None else tx.token_count(text_col)
+    )
+    totals = docs.groupBy(strat_col).agg(
+        F.sum(tok).cast("long").alias("n_tokens_total")
+    )
+    # per-source targets are PYTHON floats folded into literals
+    # (_mix_target), so a DuckDB oracle reproduces the IEEE arithmetic
+    # bit-for-bit
+    tgt = _mix_target(weights, token_budget, strat_col)
+    return totals.select(
+        strat_col,
+        "n_tokens_total",
+        F.round(tgt, 2).alias("target_tokens"),
+        F.round(
+            F.least(F.lit(1.0), tgt / F.col("n_tokens_total")), 6
+        ).alias("rate"),
+    )
+
+
+def source_mix_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
+    salt: str = "kgflow",
+) -> DataFrame:
+    """Sample the corpus to the ``source_mix_plan`` mixture: each
+    source keeps the deterministic ``hash_keep`` fraction that lands
+    its EXPECTED token volume on budget · weight / Σweights. Membership
+    is the same md5(salt|id) threshold as every sampler here, so the
+    mix composes with uniform/stratified/exact-N samples (supersets
+    and overlaps agree) and is reproducible across engines, runs and
+    cluster sizes.
+
+    Scale shape: the plan aggregate plus one broadcast join of the
+    per-source rate table (bounded by the number of sources — a
+    curated enum, not a corpus fraction) and a narrow filter. The
+    corpus is scanned twice (measure, then filter) and shuffled never.
+    """
+    from ..functions import text as tx
+    from .util import gated_broadcast
+
+    plan = source_mix_plan(
+        docs, weights, token_budget, strat_col, text_col, n_tokens_col
+    ).select(
+        strat_col,
+        # un-rounded threshold: recompute from the exact rate
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                _mix_target(weights, token_budget, strat_col)
+                / F.col("n_tokens_total"),
+            )
+            * F.lit(float(_HASH_SPACE))
+        )
+        .cast("long")
+        .alias("_thr"),
+    )
+    tok = (
+        F.col(n_tokens_col) if n_tokens_col is not None else tx.token_count(text_col)
+    )
+    return (
+        docs.withColumn("n_tokens", tok.cast("long"))
+        .join(gated_broadcast(plan, 100_000), strat_col)
+        .filter(_hash32(id_col, salt) < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
+def _mix_target(
+    weights: dict[str, float], token_budget: int, strat_col: str
+) -> Column:
+    """budget · weight / Σweights as a literal-folded when-chain (0.0
+    for unlisted sources), shared by plan and sampler so the two can
+    never disagree on a target."""
+    wsum = float(sum(weights.values()))
+    tgt: Column = F.lit(0.0)
+    for k, v in sorted(weights.items()):
+        tgt = F.when(
+            F.col(strat_col) == k, F.lit(token_budget * v / wsum)
+        ).otherwise(tgt)
+    return tgt

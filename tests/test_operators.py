@@ -732,3 +732,43 @@ def test_paragraph_dedup_boilerplate(spark):
         2: ("body two", 1),
         4: ("fresh tail", 1),
     }
+
+
+def test_source_mix_plan_and_sample(spark):
+    """Mixture semantics: targets split the budget by weight;
+    an under-supplied source pins rate at 1 (keeps everything); an
+    unlisted source gets rate 0 (excluded); the sampler's membership
+    is exactly the shared md5-threshold rule, so it composes with
+    hash_sample (subset at lower rate)."""
+    from kgflow.operators import sample
+
+    rows = [
+        # big: 40 docs x 10 tokens = 400 tokens
+        *[(i, "big", "t " * 10) for i in range(40)],
+        # small: 4 docs x 10 tokens = 40 tokens (under-supplied)
+        *[(100 + i, "small", "t " * 10) for i in range(4)],
+        # ghost: not in weights -> dropped
+        (200, "ghost", "t " * 10),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    weights = {"big": 1.0, "small": 1.0}
+    plan = {
+        r.source: (r.n_tokens_total, r.target_tokens, r.rate)
+        for r in sample.source_mix_plan(docs, weights, 200).collect()
+    }
+    assert plan["big"] == (400, 100.0, 0.25)
+    assert plan["small"] == (40, 100.0, 1.0)   # under-supplied, capped
+    assert plan["ghost"] == (10, 0.0, 0.0)     # unlisted, excluded
+    got = sample.source_mix_sample(docs, weights, 200).collect()
+    assert all(r.source != "ghost" for r in got)
+    assert sum(1 for r in got if r.source == "small") == 4  # rate 1 keeps all
+    big_ids = {r.doc_id for r in got if r.source == "big"}
+    # identical membership rule as hash_keep at the same rate
+    want_big = {
+        r.doc_id
+        for r in docs.filter("source = 'big'")
+        .filter(sample.hash_keep("doc_id", 0.25))
+        .collect()
+    }
+    assert big_ids == want_big
+    assert all(r.n_tokens == 10 for r in got)
