@@ -2318,6 +2318,41 @@ def q_cc_retract(spark, sf):
     return canon.retract_components(m0, edges, removed)
 
 
+# shared by the Spark query and the DuckDB oracle; thresholds chosen to
+# split the sf0.01 corpus (tokens 10-99, avg len 3.7-5.3, dup 0-0.72)
+# across several failure reasons
+_QG_RULES = {
+    "min_tokens": 20,
+    "max_tokens": 80,
+    "min_avg_token_len": 4.0,
+    "max_avg_token_len": 5.0,
+    "max_dup_token_frac": 0.5,
+    "min_stopword_ratio": 0.01,
+}
+
+
+def q_quality_gate(spark, sf):
+    """One-pass Gopher-rule quality gate (quality.quality_gate):
+    per-doc sorted array of FAILED rule names plus the derived keep
+    flag — filtering and the drop-audit report are the same zero-
+    shuffle scan (no silent drops)."""
+    from kgflow.operators import quality
+
+    return quality.quality_gate(_t(spark, sf, "documents"), _QG_RULES)
+
+
+def q_repetition_stats(spark, sf):
+    """Gopher-style repetition quality profile
+    (quality.repetition_stats): per-doc duplicate-token fraction
+    (in-row) and most-frequent bigram with its token-coverage
+    fraction — the filterable repetition signals of Rae et al. 2021
+    §A1.1. Two map-side-combining aggregates; the shuffle carries one
+    row per distinct (doc, bigram)."""
+    from kgflow.operators import quality
+
+    return quality.repetition_stats(_t(spark, sf, "documents"), n=2)
+
+
 _R5_QUERIES = {
     "simhash64": q_simhash64,
     "simhash64_near_pairs": q_simhash64_near_pairs,
@@ -2326,6 +2361,8 @@ _R5_QUERIES = {
     "paragraph_dedup": q_paragraph_dedup,
     "source_mix_plan": q_source_mix_plan,
     "source_mix": q_source_mix,
+    "repetition_stats": q_repetition_stats,
+    "quality_gate": q_quality_gate,
 }
 
 
@@ -2524,6 +2561,61 @@ def _r5_oracles() -> dict[str, str]:
             FROM tok t JOIN thr USING (source)
             WHERE CAST(('0x' || substr(md5('kgflow|' || t.doc_id), 1, 8))
                        AS BIGINT) < thr.thr""",
+        # tie-break mirrors Spark's max(struct(c, ng)): count DESC then
+        # gram DESC — row_number picks the same winner
+        "repetition_stats": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ), base AS (
+              SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                round((len(t) - len(list_distinct(t)))
+                      / CAST(len(t) AS DOUBLE), 6) AS dup_token_frac,
+                list_transform(generate_series(1, len(t) - 1),
+                               i -> array_to_string(t[i:i+1], ' ')) AS ngs
+              FROM toks WHERE len(t) >= 2
+            ), cnt AS (
+              SELECT doc_id, n_tokens, dup_token_frac, ng,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM (SELECT doc_id, n_tokens, dup_token_frac,
+                           unnest(ngs) AS ng FROM base) u
+              GROUP BY ALL
+            ), rk AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY c DESC, ng DESC) AS rn
+              FROM cnt
+            )
+            SELECT doc_id, n_tokens, dup_token_frac, ng AS top_ngram,
+                   c AS top_ngram_count,
+                   round(least(1.0, c * 2.0 / n_tokens), 6) AS top_ngram_frac
+            FROM rk WHERE rn = 1""",
+        "quality_gate": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ), sig AS (
+              SELECT doc_id,
+                CAST(len(t) AS BIGINT) AS n,
+                list_sum(list_transform(t, x -> len(x))) / len(t) AS avg_len,
+                round((len(t) - len(list_distinct(t)))
+                      / CAST(len(t) AS DOUBLE), 6) AS dup,
+                len(list_filter(t, x -> list_contains({_sw_list()}, x)))
+                  / len(t) AS swr
+              FROM t
+            ), rs AS (
+              SELECT doc_id, list_sort(list_filter([
+                  CASE WHEN n < {_QG_RULES["min_tokens"]} THEN 'min_tokens' END,
+                  CASE WHEN n > {_QG_RULES["max_tokens"]} THEN 'max_tokens' END,
+                  CASE WHEN avg_len < {_QG_RULES["min_avg_token_len"]!r}
+                       THEN 'min_avg_token_len' END,
+                  CASE WHEN avg_len > {_QG_RULES["max_avg_token_len"]!r}
+                       THEN 'max_avg_token_len' END,
+                  CASE WHEN dup > {_QG_RULES["max_dup_token_frac"]!r}
+                       THEN 'max_dup_token_frac' END,
+                  CASE WHEN swr < {_QG_RULES["min_stopword_ratio"]!r}
+                       THEN 'min_stopword_ratio' END
+                ], x -> x IS NOT NULL)) AS reasons
+              FROM sig
+            )
+            SELECT doc_id, reasons, len(reasons) = 0 AS keep FROM rs""",
     }
 
 

@@ -66,6 +66,7 @@ EXTRAS = [
     "cc_retract",
     "paragraph_dedup",
     "source_mix",
+    "repetition_stats",
 ]
 
 _CACHE_ROOT = os.environ.get("KGFLOW_BENCH_CACHE", "/tmp/kgflow_bench")

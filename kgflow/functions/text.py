@@ -158,3 +158,37 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(col: Column | str, n: int = 2) -> Column:
+    """ALL n-word grams in order, duplicates kept (empty if < n tokens)
+    — ``word_shingles`` without the distinct, for repetition metrics
+    where occurrence COUNTS are the signal. Same shifted-slice +
+    ``arrays_zip`` construction (and the same O(L²) lambda trap it
+    avoids — see ``word_shingles``)."""
+    t = tokens(col)
+    count = F.size(t) - (n - 1)
+    shifted = [F.slice(t, k + 1, count) for k in range(n)]
+    zipped = F.arrays_zip(*shifted)
+    return F.when(
+        count >= 1,
+        F.transform(
+            zipped,
+            lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_token_fraction(col: Column | str) -> Column:
+    """Fraction of token occurrences that repeat an earlier token:
+    (|t| - |distinct t|) / |t|. In-row ``array_distinct`` — zero
+    shuffle, whole-stage codegen. The unit-level twin of the
+    corpus-wide ``dedup.paragraph_dedup``; one of the Gopher-style
+    repetition signals (Rae et al. 2021, "Scaling Language Models",
+    §A1.1 quality filtering)."""
+    t = tokens(col)
+    return F.round(
+        (F.size(t) - F.size(F.array_distinct(t)))
+        / F.size(t).cast("double"),
+        6,
+    )

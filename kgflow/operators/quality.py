@@ -1,0 +1,147 @@
+"""Repetition-based quality metrics for training-data filtering.
+
+Gopher-style repetition signals (Rae et al. 2021, §A1.1): documents
+dominated by a few repeated n-grams or repeated tokens are boilerplate/
+spam and poison language-model training. The reference filters its
+corpus by length caps only (``entrez_gene_embedding.py:10``); these
+metrics are the corpus-hygiene extension a pretraining pipeline needs.
+
+Scale shape: ``repetition_stats`` is two map-side-combining aggregates
+— (doc, ngram) counts, then a per-doc max — so the shuffle carries one
+row per DISTINCT (doc, ngram), never the raw token stream, and no
+window sort is involved. The in-row signals (``dup_token_fraction``)
+ride along for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import text as tx
+
+
+def repetition_stats(
+    docs: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document repetition profile:
+
+    * ``dup_token_frac`` — fraction of token occurrences repeating an
+      earlier token (in-row, zero shuffle);
+    * ``top_ngram`` / ``top_ngram_count`` — the document's most
+      frequent word n-gram (ties broken toward the lexicographically
+      LARGEST gram, deterministically — mirrored by the oracle's
+      ``ORDER BY c DESC, ng DESC``);
+    * ``top_ngram_frac`` — fraction of the document's tokens covered
+      by occurrences of that gram (``count·n / n_tokens``, capped at
+      1 since overlapping occurrences can double-count tokens).
+
+    Filter on these downstream (e.g. drop ``top_ngram_frac > 0.2``,
+    the Gopher bigram threshold). Documents with fewer than ``n``
+    tokens are excluded — they have no n-gram to profile.
+
+    Plan: explode n-grams → groupBy (doc, gram) count → groupBy doc
+    ``max(struct(count, gram))``. Both aggregates partial map-side;
+    the per-doc carry columns (n_tokens, dup fraction) are functionally
+    dependent on the id and ride the grouping keys instead of a
+    re-join.
+    """
+    base = docs.select(
+        F.col(id_col),
+        tx.token_count(text_col).cast("long").alias("n_tokens"),
+        tx.dup_token_fraction(text_col).alias("dup_token_frac"),
+        F.explode(tx.word_ngrams(text_col, n)).alias("ng"),
+    )
+    counts = base.groupBy(id_col, "n_tokens", "dup_token_frac", "ng").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    top = (
+        counts.groupBy(id_col, "n_tokens", "dup_token_frac")
+        .agg(F.max(F.struct(F.col("c"), F.col("ng"))).alias("m"))
+        .select(
+            id_col,
+            "n_tokens",
+            "dup_token_frac",
+            F.col("m.ng").alias("top_ngram"),
+            F.col("m.c").alias("top_ngram_count"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("m.c") * n / F.col("n_tokens").cast("double"),
+                ),
+                6,
+            ).alias("top_ngram_frac"),
+        )
+    )
+    return top
+
+
+#: default thresholds, Gopher-shaped (Rae et al. 2021, Table A1) but
+#: tuned to this corpus's synthetic scale; override per call.
+DEFAULT_RULES = {
+    "min_tokens": 5,
+    "max_tokens": 100_000,
+    "min_avg_token_len": 2.0,
+    "max_avg_token_len": 12.0,
+    "max_dup_token_frac": 0.9,
+    "min_stopword_ratio": 0.01,
+}
+
+
+def quality_gate(
+    docs: DataFrame,
+    rules: dict | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One-pass document quality gate: every rule is evaluated for
+    every document and the FAILED rule names are returned as a sorted
+    array, so a drop is never silent — ``keep`` is just
+    ``size(reasons) = 0``. Filtering and auditing are the same scan:
+    ``.filter("keep")`` for the pipeline, ``groupBy(reasons)`` for the
+    drop report.
+
+    All signals are in-row column expressions (token counts, average
+    token length, duplicate-token fraction, stopword ratio) — zero
+    shuffle, whole-stage codegen, unchanged plan shape at any corpus
+    size. Rules are literal-folded thresholds; unknown rule names
+    raise rather than being ignored.
+    """
+    r = dict(DEFAULT_RULES)
+    if rules:
+        unknown = set(rules) - set(DEFAULT_RULES)
+        if unknown:
+            raise ValueError(f"unknown quality rules: {sorted(unknown)}")
+        r.update(rules)
+
+    n = tx.token_count(text_col).cast("long")
+    avg_len = tx.avg_token_len(text_col)
+    dup = tx.dup_token_fraction(text_col)
+    sw = tx.stopword_ratio(text_col)
+
+    checks = [
+        ("min_tokens", n < int(r["min_tokens"])),
+        ("max_tokens", n > int(r["max_tokens"])),
+        ("min_avg_token_len", avg_len < float(r["min_avg_token_len"])),
+        ("max_avg_token_len", avg_len > float(r["max_avg_token_len"])),
+        ("max_dup_token_frac", dup > float(r["max_dup_token_frac"])),
+        ("min_stopword_ratio", sw < float(r["min_stopword_ratio"])),
+    ]
+    reasons = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(cond, F.lit(name)).otherwise(F.lit(None))
+                    for name, cond in checks
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return docs.select(
+        F.col(id_col),
+        reasons.alias("reasons"),
+        (F.size(reasons) == 0).alias("keep"),
+    )

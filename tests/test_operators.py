@@ -772,3 +772,82 @@ def test_source_mix_plan_and_sample(spark):
     }
     assert big_ids == want_big
     assert all(r.n_tokens == 10 for r in got)
+
+
+def test_repetition_stats(spark):
+    """Hand-checked repetition profile: a boilerplate doc dominated by
+    one repeated bigram scores high on both signals; a no-repeat doc
+    scores 0; a sub-bigram doc is excluded; count ties break toward
+    the lexicographically larger gram (matching the oracle)."""
+    from kgflow.operators import quality
+
+    docs = spark.createDataFrame(
+        [
+            # "spam spam spam spam": dup_frac 3/4, top bigram
+            # "spam spam" x3 -> frac min(1, 3*2/4) = 1.0
+            (1, "spam spam spam spam"),
+            # all-distinct: dup 0; bigrams each once, tie -> "c d"
+            (2, "a b c d"),
+            (3, "one"),  # < 2 tokens: excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (
+            r.n_tokens,
+            r.dup_token_frac,
+            r.top_ngram,
+            r.top_ngram_count,
+            r.top_ngram_frac,
+        )
+        for r in quality.repetition_stats(docs, n=2).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1] == (4, 0.75, "spam spam", 3, 1.0)
+    assert got[2] == (4, 0.0, "c d", 1, 0.5)
+
+
+def test_quality_gate(spark):
+    """Every rule fires on a crafted doc and names itself; a clean doc
+    passes with empty reasons; reasons sort ascending; unknown rule
+    names raise instead of being ignored."""
+    import pytest as _pytest
+
+    from kgflow.operators import quality
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy sleeping dog"),
+            (2, "to be"),                      # min_tokens
+            (3, "a a a a a a a a a a"),        # dup + short avg len + no-sw... 
+            (4, "incomprehensibilities " * 10),  # long avg token len
+            (5, "xyzzy plugh abracadabra hocus pocus quux"),  # no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    rules = {
+        "min_tokens": 5,
+        "max_tokens": 100,
+        "min_avg_token_len": 2.0,
+        "max_avg_token_len": 12.0,
+        "max_dup_token_frac": 0.5,
+        "min_stopword_ratio": 0.01,
+    }
+    got = {r.doc_id: (list(r.reasons), r.keep) for r in
+           quality.quality_gate(docs, rules).collect()}
+    assert got[1] == ([], True)
+    assert got[2] == (["min_tokens"], False)
+    # doc 3: 10 tokens, dup 0.9>0.5, avg len 1<2, no stopwords ('a' is
+    # not in the marker lists)
+    assert got[3] == (
+        ["max_dup_token_frac", "min_avg_token_len", "min_stopword_ratio"],
+        False,
+    )
+    # doc 4: one 21-char token repeated -> long avg len AND dup 0.9
+    assert got[4] == (
+        ["max_avg_token_len", "max_dup_token_frac", "min_stopword_ratio"],
+        False,
+    )
+    assert got[5] == (["min_stopword_ratio"], False)
+    with _pytest.raises(ValueError, match="unknown quality rules"):
+        quality.quality_gate(docs, {"min_tokenz": 1})
