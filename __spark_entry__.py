@@ -2341,6 +2341,23 @@ def q_quality_gate(spark, sf):
     return quality.quality_gate(_t(spark, sf, "documents"), _QG_RULES)
 
 
+def q_data_prep_pipeline(spark, sf):
+    """The training-data prep DAG end-to-end, as ONE declarative plan:
+    quality gate (zero-shuffle scan) → token-budget source mixing
+    (aggregate + broadcast-joined rates, measured on the GATED subset
+    — mix what you actually have) → sequence packing into 512-token
+    bins (one window per source stream). Catalyst sees the whole
+    lineage, so the gate's filter pushes into the single corpus scan
+    feeding both the mix measurement and the final pack."""
+    from kgflow.operators import quality, sample
+
+    docs = _t(spark, sf, "documents")
+    gate = quality.quality_gate(docs, _QG_RULES)
+    kept = docs.join(gate.filter("keep").select("doc_id"), "doc_id")
+    mixed = sample.source_mix_sample(kept, _MIX_WEIGHTS, _MIX_BUDGET)
+    return sample.pack_sequences(mixed, budget=512, n_tokens_col="n_tokens")
+
+
 def q_repetition_stats(spark, sf):
     """Gopher-style repetition quality profile
     (quality.repetition_stats): per-doc duplicate-token fraction
@@ -2363,6 +2380,7 @@ _R5_QUERIES = {
     "source_mix": q_source_mix,
     "repetition_stats": q_repetition_stats,
     "quality_gate": q_quality_gate,
+    "data_prep_pipeline": q_data_prep_pipeline,
 }
 
 
@@ -2616,6 +2634,54 @@ def _r5_oracles() -> dict[str, str]:
               FROM sig
             )
             SELECT doc_id, reasons, len(reasons) = 0 AS keep FROM rs""",
+        # gate -> mix -> pack chained as CTEs; keep is the negation of
+        # every quality_gate rule, mix rates are measured on the GATED
+        # subset, packing is the exclusive-prefix-sum rule at 512
+        "data_prep_pipeline": f"""
+            WITH t AS (
+              SELECT doc_id, source, {_TOKS} AS t FROM documents
+            ), sig AS (
+              SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tokens,
+                CAST(len(t) AS BIGINT) AS n,
+                list_sum(list_transform(t, x -> len(x))) / len(t) AS avg_len,
+                round((len(t) - len(list_distinct(t)))
+                      / CAST(len(t) AS DOUBLE), 6) AS dup,
+                len(list_filter(t, x -> list_contains({_sw_list()}, x)))
+                  / len(t) AS swr
+              FROM t
+            ), kept AS (
+              SELECT doc_id, source, n_tokens FROM sig
+              WHERE n >= {_QG_RULES["min_tokens"]}
+                AND n <= {_QG_RULES["max_tokens"]}
+                AND avg_len >= {_QG_RULES["min_avg_token_len"]!r}
+                AND avg_len <= {_QG_RULES["max_avg_token_len"]!r}
+                AND dup <= {_QG_RULES["max_dup_token_frac"]!r}
+                AND swr >= {_QG_RULES["min_stopword_ratio"]!r}
+            ), tot AS (
+              SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS nt
+              FROM kept GROUP BY source
+            ), thr AS (
+              SELECT source,
+                CAST(floor(least(1.0, {_mix_target_sql()} / nt)
+                           * 4294967296.0) AS BIGINT) AS thr
+              FROM tot
+            ), mixed AS (
+              SELECT k.source, k.doc_id, k.n_tokens
+              FROM kept k JOIN thr USING (source)
+              WHERE CAST(('0x' || substr(md5('kgflow|' || k.doc_id), 1, 8))
+                         AS BIGINT) < thr.thr
+            ), cum AS (
+              SELECT source, doc_id, n_tokens,
+                COALESCE(SUM(n_tokens) OVER (
+                  PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS c
+              FROM mixed
+            )
+            SELECT source, doc_id, n_tokens,
+                   CAST(floor(c / 512) AS BIGINT) AS bin_id,
+                   CAST(c % 512 AS BIGINT) AS bin_offset
+            FROM cum""",
     }
 
 

@@ -67,6 +67,7 @@ EXTRAS = [
     "paragraph_dedup",
     "source_mix",
     "repetition_stats",
+    "data_prep_pipeline",
 ]
 
 _CACHE_ROOT = os.environ.get("KGFLOW_BENCH_CACHE", "/tmp/kgflow_bench")
