@@ -2341,6 +2341,16 @@ def q_quality_gate(spark, sf):
     return quality.quality_gate(_t(spark, sf, "documents"), _QG_RULES)
 
 
+def q_lm_quality_score(spark, sf):
+    """Unigram cross-entropy quality score
+    (quality.unigram_logprob_score): corpus-fit token log-probs,
+    per-doc mean via an exact scaled-integer sum (no float summation-
+    order drift), the CCNet perplexity-filter signal at n=1."""
+    from kgflow.operators import quality
+
+    return quality.unigram_logprob_score(_t(spark, sf, "documents"))
+
+
 def q_data_prep_pipeline(spark, sf):
     """The training-data prep DAG end-to-end, as ONE declarative plan:
     quality gate (zero-shuffle scan) → token-budget source mixing
@@ -2381,6 +2391,7 @@ _R5_QUERIES = {
     "repetition_stats": q_repetition_stats,
     "quality_gate": q_quality_gate,
     "data_prep_pipeline": q_data_prep_pipeline,
+    "lm_quality_score": q_lm_quality_score,
 }
 
 
@@ -2682,6 +2693,27 @@ def _r5_oracles() -> dict[str, str]:
                    CAST(floor(c / 512) AS BIGINT) AS bin_id,
                    CAST(c % 512 AS BIGINT) AS bin_offset
             FROM cum""",
+        # per-token log-probs scaled to integers BEFORE the per-doc
+        # sum, exactly like the Spark side — the aggregate is an exact
+        # integer sum in both engines
+        "lm_quality_score": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+            ), freq AS (
+              SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+              FROM toks GROUP BY tok
+            ), tot AS (
+              SELECT CAST(SUM(c) AS DOUBLE) AS n FROM freq
+            ), lp AS (
+              SELECT tok,
+                CAST(round(log10(c / n) * 1000000, 0) AS BIGINT) AS lp6
+              FROM freq, tot
+            ), sc AS (
+              SELECT t.doc_id, lp6 FROM toks t JOIN lp USING (tok)
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   round(SUM(lp6) / (COUNT(*) * 1000000.0), 4) AS lm_score
+            FROM sc GROUP BY doc_id""",
     }
 
 

@@ -68,6 +68,7 @@ EXTRAS = [
     "source_mix",
     "repetition_stats",
     "data_prep_pipeline",
+    "lm_quality_score",
 ]
 
 _CACHE_ROOT = os.environ.get("KGFLOW_BENCH_CACHE", "/tmp/kgflow_bench")

@@ -145,3 +145,63 @@ def quality_gate(
         reasons.alias("reasons"),
         (F.size(reasons) == 0).alias("keep"),
     )
+
+
+def unigram_logprob_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    floor_lp6: int = -10_000_000,
+    vocab_broadcast_threshold: int = 2_000_000,
+    fit_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Statistical-LM quality score, KenLM-lite: fit unigram token
+    log10-probabilities on the corpus itself (one map-side-combining
+    aggregate), then score each document by its MEAN token log-prob.
+    Gibberish / out-of-distribution documents score far below the
+    corpus mode — the classic CCNet-style perplexity filter signal
+    (Wenzek et al. 2020) with the n-gram model degenerated to n=1 so
+    the whole fit stays one aggregate.
+
+    Determinism across engines and partitionings: per-token log-probs
+    are scaled to integers (round(lp·10⁶) as ``lp6``) BEFORE the
+    per-doc sum, so the aggregate is an exact integer sum — no
+    floating summation-order drift — and one final division yields
+    the score. The model is fit on ``fit_docs`` when given (score a
+    stream against a reference corpus), else on ``docs`` itself;
+    tokens unseen at fit time take ``floor_lp6``.
+
+    Returns (id_col, n_tokens, lm_score). Scale shape: one explode →
+    vocab aggregate (vocab-sized result), a 1-row total broadcast, a
+    size-gated broadcast join of the log-prob table (shuffle join
+    above ``vocab_broadcast_threshold`` rows), one per-doc aggregate.
+    """
+    from .util import gated_broadcast
+
+    toks = docs.select(F.col(id_col), F.explode(tx.tokens(text_col)).alias("tok"))
+    fit_toks = (
+        toks
+        if fit_docs is None
+        else fit_docs.select(F.explode(tx.tokens(text_col)).alias("tok"))
+    )
+    freq = fit_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # 1-row total; broadcast so the log-prob table is one narrow pass
+    tot = freq.agg(F.sum("c").cast("double").alias("n"))
+    lp = freq.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(F.log10(F.col("c") / F.col("n")) * 1_000_000, 0)
+        .cast("long")
+        .alias("lp6"),
+    )
+    scored = toks.join(gated_broadcast(lp, vocab_broadcast_threshold), "tok", "left")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.coalesce("lp6", F.lit(floor_lp6)))
+                / (F.count(F.lit(1)) * 1_000_000.0),
+                4,
+            ).alias("lm_score"),
+        )
+    )

@@ -851,3 +851,28 @@ def test_quality_gate(spark):
     assert got[5] == (["min_stopword_ratio"], False)
     with _pytest.raises(ValueError, match="unknown quality rules"):
         quality.quality_gate(docs, {"min_tokenz": 1})
+
+
+def test_unigram_logprob_score(spark):
+    """Hand-computed unigram cross-entropy: corpus a:2 b:2 c:1 (N=5),
+    lp6(a)=lp6(b)=-397940, lp6(c)=-698970; exact integer sums make the
+    scores partition-order independent. OOV tokens under a separate
+    fit corpus take the floor."""
+    from kgflow.operators import quality
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.lm_score)
+        for r in quality.unigram_logprob_score(docs).collect()
+    }
+    assert got[1] == (3, -0.3979)
+    assert got[2] == (2, -0.5485)
+    # fit on docs, score a stream containing an unseen token: floor
+    stream = spark.createDataFrame([(9, "a zzz")], "doc_id long, text string")
+    (row,) = quality.unigram_logprob_score(
+        stream, fit_docs=docs, floor_lp6=-10_000_000
+    ).collect()
+    # (-397940 + -10_000_000) / 2e6 = -5.19897 -> -5.199
+    assert (row.n_tokens, row.lm_score) == (2, -5.199)
