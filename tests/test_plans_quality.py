@@ -109,3 +109,40 @@ def test_doc_parse_prunes_json_fields(spark, entrymod):
     assert "from_json(StructField(authors" not in plan
     assert "from_json(StructField(mesh" not in plan
     assert "from_json(StructField(pmid" in plan
+
+
+def test_quality_gate_zero_shuffle(spark, entrymod):
+    """The gate is a pure narrow scan: no Exchange of any kind."""
+    plan = _plan(entrymod.queries()["quality_gate"](spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_repetition_stats_no_window_two_shuffles(spark, entrymod):
+    """Top-n-gram selection must be the two-level aggregate (partial
+    map-side), never a per-doc window sort; exactly the two designed
+    shuffle exchanges — (doc, gram) counts and the per-doc max."""
+    plan = _plan(entrymod.queries()["repetition_stats"](spark, SF))
+    assert "Window" not in plan
+    assert plan.count("ShuffleExchange") <= 2 or plan.count("Exchange") <= 2
+
+
+def test_lm_quality_score_join_strategies(spark, entrymod):
+    """The only nested-loop is the deliberate 1-row total broadcast;
+    the vocab log-prob join must be a (gated) broadcast hash join at
+    this scale, and nothing may sort-merge or go cartesian."""
+    plan = _plan(entrymod.queries()["lm_quality_score"](spark, SF))
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_data_prep_pipeline_composition_plan(spark, entrymod):
+    """gate->mix->pack as one plan: broadcast joins only (keep-ids,
+    mix rates), exactly one window (the per-stream pack prefix sum),
+    no cartesian anywhere."""
+    plan = _plan(entrymod.queries()["data_prep_pipeline"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Window") == 1
