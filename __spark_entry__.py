@@ -2351,6 +2351,20 @@ def q_lm_quality_score(spark, sf):
     return quality.unigram_logprob_score(_t(spark, sf, "documents"))
 
 
+def q_bigram_lm_score(spark, sf):
+    """Stupid-backoff bigram LM quality score
+    (quality.bigram_logprob_score): fit on the deterministic 50%
+    hash sample, score the FULL corpus — every bigram the sample
+    missed exercises the backoff branch live. Scaled-integer sums
+    keep the mean exact across engines."""
+    from kgflow.operators import quality, sample
+
+    docs = _t(spark, sf, "documents")
+    return quality.bigram_logprob_score(
+        docs, fit_docs=sample.hash_sample(docs, 0.5)
+    )
+
+
 def q_data_prep_pipeline(spark, sf):
     """The training-data prep DAG end-to-end, as ONE declarative plan:
     quality gate (zero-shuffle scan) → token-budget source mixing
@@ -2392,6 +2406,7 @@ _R5_QUERIES = {
     "quality_gate": q_quality_gate,
     "data_prep_pipeline": q_data_prep_pipeline,
     "lm_quality_score": q_lm_quality_score,
+    "bigram_lm_score": q_bigram_lm_score,
 }
 
 
@@ -2713,6 +2728,57 @@ def _r5_oracles() -> dict[str, str]:
             )
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
                    round(SUM(lp6) / (COUNT(*) * 1000000.0), 4) AS lm_score
+            FROM sc GROUP BY doc_id""",
+        # stupid-backoff bigram LM, fit on the 50% hash sample (the
+        # same md5-threshold membership as hash_sample): DuckDB zips
+        # the two unnests positionally, giving the same (prev, cur)
+        # stream as Spark's arrays_zip of the shifted slice
+        "bigram_lm_score": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ), fit AS (
+              SELECT t FROM toks
+              WHERE CAST(('0x' || substr(md5('kgflow|' || doc_id), 1, 8))
+                         AS BIGINT) < 2147483648
+            ), fpair AS (
+              SELECT unnest(list_prepend(CAST(NULL AS VARCHAR),
+                                         t[1:len(t)-1])) AS prev,
+                     unnest(t) AS cur
+              FROM fit
+            ), uni AS (
+              SELECT cur AS tok, CAST(COUNT(*) AS BIGINT) AS cu
+              FROM fpair GROUP BY cur
+            ), tot AS (
+              SELECT CAST(SUM(cu) AS DOUBLE) AS n FROM uni
+            ), big AS (
+              SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cb
+              FROM fpair WHERE prev IS NOT NULL GROUP BY prev, cur
+            ), spair AS (
+              SELECT doc_id,
+                     unnest(list_prepend(CAST(NULL AS VARCHAR),
+                                         t[1:len(t)-1])) AS prev,
+                     unnest(t) AS cur
+              FROM toks
+            ), sc AS (
+              SELECT s.doc_id, CAST(round(
+                CASE
+                  WHEN s.prev IS NULL THEN
+                    log10(COALESCE(CAST(uc.cu AS DOUBLE), 0.5) / tot.n)
+                  WHEN b.cb IS NOT NULL THEN
+                    log10(b.cb / CAST(up.cu AS DOUBLE))
+                  ELSE
+                    log10(CAST(0.4 AS DOUBLE)
+                          * COALESCE(CAST(uc.cu AS DOUBLE), 0.5) / tot.n)
+                END * 1000000, 0) AS BIGINT) AS lp6
+              FROM spair s
+              LEFT JOIN big b ON s.prev = b.prev AND s.cur = b.cur
+              LEFT JOIN uni up ON s.prev = up.tok
+              LEFT JOIN uni uc ON s.cur = uc.tok
+              CROSS JOIN tot
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   round(SUM(lp6) / (COUNT(*) * 1000000.0), 4)
+                     AS bigram_lm_score
             FROM sc GROUP BY doc_id""",
     }
 

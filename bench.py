@@ -69,6 +69,7 @@ EXTRAS = [
     "repetition_stats",
     "data_prep_pipeline",
     "lm_quality_score",
+    "bigram_lm_score",
 ]
 
 _CACHE_ROOT = os.environ.get("KGFLOW_BENCH_CACHE", "/tmp/kgflow_bench")

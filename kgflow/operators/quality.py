@@ -205,3 +205,89 @@ def unigram_logprob_score(
             ).alias("lm_score"),
         )
     )
+
+
+def bigram_logprob_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    backoff_alpha: float = 0.4,
+    table_broadcast_threshold: int = 2_000_000,
+    fit_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Bigram LM quality score with stupid backoff (Brants et al.
+    2007): P(w|prev) = c(prev,w)/c(prev) when the bigram was seen at
+    fit time, else ``backoff_alpha``·c(w)/N from the unigram table —
+    the actual shape of a CCNet-style perplexity filter, one n up
+    from ``unigram_logprob_score``. A document's score is the mean
+    log10 probability of its tokens (the first token scored by the
+    unigram model).
+
+    Fit on ``fit_docs`` when given, else on ``docs`` itself. Fitting
+    on a SAMPLE and scoring the full corpus is the intended use: the
+    backoff branch then fires on every bigram the sample missed, and
+    the fit tables stay a bounded fraction of the corpus vocabulary.
+
+    Exactness: per-position log-probs are scaled to integers
+    (round(lp·10⁶)) before the per-doc sum — exact integer
+    aggregation, partition-order independent, engine-portable.
+
+    Scale shape: two fit aggregates (unigram vocab-sized, bigram
+    seen-pair-sized), a 1-row total broadcast, then the token stream
+    joined to both tables — size-gated broadcasts below
+    ``table_broadcast_threshold`` rows, shuffle hash joins above —
+    and one per-doc aggregate. The bigram table of a web corpus
+    exceeds any broadcast: the gate, not a hint, decides.
+    """
+    from .util import gated_broadcast
+
+    def pair_stream(d: DataFrame, with_id: bool) -> DataFrame:
+        t = tx.tokens(text_col)
+        prevs = F.concat(
+            F.array(F.lit(None).cast("string")),
+            F.slice(t, 1, F.size(t) - 1),
+        )
+        cols = [F.col(id_col)] if with_id else []
+        return d.select(*cols, F.explode(F.arrays_zip(prevs, t)).alias("p")).select(
+            *([id_col] if with_id else []),
+            F.col("p")["0"].alias("prev"),
+            F.col("p")["1"].alias("cur"),
+        )
+
+    fit = pair_stream(fit_docs if fit_docs is not None else docs, with_id=False)
+    uni = fit.groupBy(F.col("cur").alias("tok")).agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    tot = uni.agg(F.sum("cu").cast("double").alias("n"))
+    big = (
+        fit.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+
+    stream = pair_stream(docs, with_id=True)
+    uni_prev = uni.select(F.col("tok").alias("prev"), F.col("cu").alias("cu_prev"))
+    uni_cur = uni.select(F.col("tok").alias("cur"), F.col("cu").alias("cu_cur"))
+    scored = (
+        stream.join(gated_broadcast(big, table_broadcast_threshold), ["prev", "cur"], "left")
+        .join(gated_broadcast(uni_prev, table_broadcast_threshold), "prev", "left")
+        .join(gated_broadcast(uni_cur, table_broadcast_threshold), "cur", "left")
+        .crossJoin(F.broadcast(tot))  # 1 row
+    )
+    # unigram floor for tokens unseen even at unigram level: count 0.5
+    cu_eff = F.coalesce(F.col("cu_cur").cast("double"), F.lit(0.5))
+    lp = (
+        F.when(F.col("prev").isNull(), F.log10(cu_eff / F.col("n")))
+        .when(
+            F.col("cb").isNotNull(),
+            F.log10(F.col("cb") / F.col("cu_prev").cast("double")),
+        )
+        .otherwise(F.log10(F.lit(float(backoff_alpha)) * cu_eff / F.col("n")))
+    )
+    lp6 = F.round(lp * 1_000_000, 0).cast("long")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum(lp6) / (F.count(F.lit(1)) * 1_000_000.0), 4).alias(
+            "bigram_lm_score"
+        ),
+    )

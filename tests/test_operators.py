@@ -876,3 +876,29 @@ def test_unigram_logprob_score(spark):
     ).collect()
     # (-397940 + -10_000_000) / 2e6 = -5.19897 -> -5.199
     assert (row.n_tokens, row.lm_score) == (2, -5.199)
+
+
+def test_bigram_logprob_score(spark):
+    """Hand-computed stupid-backoff bigram LM: corpus a:3 b:2 c:2
+    (N=7), bigrams (a,b):2 (b,a):1 (b,c):1 (c,a):1. First token scored
+    by unigram; seen bigrams by c(prev,cur)/c(prev); unseen bigrams by
+    0.4*c(cur)/N with a 0.5-count floor for unseen tokens."""
+    from kgflow.operators import quality
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "c a")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.bigram_lm_score)
+        for r in quality.bigram_logprob_score(docs).collect()
+    }
+    # doc1: lp6 = -367977 (uni a) -176091 (a,b) -301030 (b,a)
+    #       -176091 (a,b) -301030 (b,c); sum/5e6 -> -0.2644
+    assert got[1] == (5, -0.2644)
+    # doc2: -544068 (uni c) -301030 (c,a); sum/2e6 -> -0.4225
+    assert got[2] == (2, -0.4225)
+    # backoff branch: fit on docs, score an unseen bigram + OOV token
+    stream = spark.createDataFrame([(9, "a zzz")], "doc_id long, text string")
+    (row,) = quality.bigram_logprob_score(stream, fit_docs=docs).collect()
+    # -367977 (uni a) + round(log10(0.4*0.5/7)*1e6) = -1544068
+    assert (row.n_tokens, row.bigram_lm_score) == (2, -0.956)

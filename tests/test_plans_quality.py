@@ -146,3 +146,14 @@ def test_data_prep_pipeline_composition_plan(spark, entrymod):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Window") == 1
+
+
+def test_bigram_lm_score_join_strategies(spark, entrymod):
+    """The bigram/unigram fit tables must hash-broadcast under the
+    gate at this scale; the only nested-loop is the deliberate 1-row
+    total broadcast."""
+    plan = _plan(entrymod.queries()["bigram_lm_score"](spark, SF))
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
