@@ -157,12 +157,25 @@ def connected_components(
     # preserve the caller's id type — hardcoding string would make
     # the operator crash below the threshold but work above it
     id_type = dict(e.dtypes)["a"]
-    n_edges = e.limit(driver_threshold + 1).count()
-    if n_edges <= driver_threshold:
-        cmap = _union_find_map(e.collect())
-        return spark.createDataFrame(
-            list(cmap.items()), f"id {id_type}, canonical_id {id_type}"
-        )
+    # Two-stage gate: the raw-row count is free but over-counts under
+    # heavy edge duplication (re-asserted same-as links across ontology
+    # drops), which would push a driver-sized graph onto ~10 distributed
+    # rounds. When the raw count lands in a bounded band above the
+    # threshold (≤16×), pay one dedup-count on that bounded set to see
+    # whether the DISTINCT edge set fits the driver after all; far above
+    # the band the dedup count would be a corpus-scale shuffle spent on
+    # a gate that is almost surely over anyway, so it is skipped.
+    n_edges = e.limit(16 * driver_threshold + 1).count()
+    if n_edges <= 16 * driver_threshold:
+        e_dist = e.dropDuplicates()
+        if (
+            n_edges <= driver_threshold
+            or e_dist.limit(driver_threshold + 1).count() <= driver_threshold
+        ):
+            cmap = _union_find_map(e_dist.collect())
+            return spark.createDataFrame(
+                list(cmap.items()), f"id {id_type}, canonical_id {id_type}"
+            )
 
     # ------------------------------------------------------------------
     # Distributed path: min-merge GRAPH CONTRACTION with parquet-spill
@@ -467,6 +480,7 @@ def update_components(
     new_edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
+    broadcast_threshold: int | None = 4_000_000,
     **cc_kwargs,
 ) -> DataFrame:
     """Incrementally maintain a ``connected_components`` mapping under
@@ -486,15 +500,21 @@ def update_components(
     assignment. Equivalence with a from-scratch run holds exactly
     because components only ever GROW under additions (no retractions).
 
-    Scale shape: two broadcast-sized joins against the delta (the delta
-    mapping covers only ids touched by new edges) plus the CC run on
-    the rewritten new-edge graph.
+    Scale shape: two joins against the delta mapping plus the CC run on
+    the rewritten new-edge graph. The delta covers only ids touched by
+    new edges — but the new-edge BATCH itself is unbounded (a bulk
+    ontology refresh or a backfill replay delivers a corpus-fraction
+    edge set), so the delta broadcast is size-GATED like every other
+    small side in this family (``broadcast_threshold`` rows, default
+    4M; ``None`` leaves the strategy to AQE), not forced.
     """
-    # NOTE join sides: the new-edge set is the small side, the mapping
-    # is corpus-scale — never broadcast the mapping (AQE picks the
-    # strategy; on a real deployment the mapping table is bucketed by
-    # id so these are co-located joins). Only the DELTA mapping below
-    # is guaranteed small enough to broadcast.
+    from .util import gated_broadcast
+
+    # NOTE join sides: the new-edge set is usually the small side, the
+    # mapping is corpus-scale — never broadcast the mapping (AQE picks
+    # the strategy; on a real deployment the mapping table is bucketed
+    # by id so these are co-located joins). Only the DELTA mapping
+    # below is a broadcast CANDIDATE, and only when measured small.
     e = new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     m_a = mapping.select(F.col("id").alias("_ia"), F.col("canonical_id").alias("_ca"))
     m_b = mapping.select(F.col("id").alias("_ib"), F.col("canonical_id").alias("_cb"))
@@ -507,11 +527,14 @@ def update_components(
         )
     )
     delta = connected_components(rewritten, **cc_kwargs)
-    d = delta.select(F.col("id").alias("_f"), F.col("canonical_id").alias("_t"))
+    d = gated_broadcast(
+        delta.select(F.col("id").alias("_f"), F.col("canonical_id").alias("_t")),
+        broadcast_threshold,
+    )
     # old rows: follow the delta one hop (old canonicals are delta
     # DOMAIN members when touched; delta values are final roots)
     updated_old = (
-        mapping.join(F.broadcast(d), mapping["canonical_id"] == d["_f"], "left")
+        mapping.join(d, mapping["canonical_id"] == d["_f"], "left")
         .select("id", F.coalesce("_t", "canonical_id").alias("canonical_id"))
     )
     # delta rows for ids the old mapping has never seen

@@ -150,6 +150,68 @@ def test_update_components_randomized(spark):
         assert got == want, (edges, cut)
 
 
+def test_cc_duplicated_edges_take_driver_path(spark):
+    """A small graph with heavy edge duplication (re-asserted same-as
+    links) must still take the driver fast path: the gate counts
+    DISTINCT edges when the raw count lands in the bounded band above
+    the threshold. Proven via max_iter=0 — the distributed path would
+    return an unmerged mapping, the driver union-find ignores it."""
+    rows = [("a", "b"), ("b", "c"), ("x", "y")] * 40  # 120 raw, 3 distinct
+    edges = spark.createDataFrame(rows, "id_a string, id_b string")
+    got = {
+        tuple(r)
+        for r in canon.connected_components(
+            edges, driver_threshold=10, max_iter=0
+        ).collect()
+    }
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+
+
+def test_update_components_bulk_additions_gated(spark):
+    """BULK additions: a new-edge batch far larger than the old mapping
+    (a backfill replay / full ontology refresh). Scratch-equivalence
+    must hold, and the delta-mapping join must NOT be a forced
+    broadcast once the delta exceeds the gate — above the threshold
+    the plan (with auto-broadcast off) falls back to a shuffle join,
+    exactly like apply_canonical's gate."""
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [("n000", "n001"), ("n500", "n501")], "id_a string, id_b string"
+    )
+    m0 = canon.connected_components(base).localCheckpoint(eager=True)
+    # bulk batch: one 400-node chain touching n000's component — the
+    # delta mapping (401 ids) dwarfs the old mapping (4 rows)
+    bulk = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(400)],
+        "id_a string, id_b string",
+    )
+    got = {
+        tuple(r) for r in canon.update_components(m0, bulk).collect()
+    }
+    want = {
+        tuple(r)
+        for r in canon.connected_components(base.unionByName(bulk)).collect()
+    }
+    assert got == want
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        over = canon.update_components(m0, bulk, broadcast_threshold=10)
+        under = canon.update_components(m0, bulk, broadcast_threshold=100_000)
+        plan_over = over._jdf.queryExecution().executedPlan().toString()
+        plan_under = under._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" in plan_under
+    # the composition join (mapping ⋈ delta) must not broadcast over
+    # the gate; the residual anti-join is key-shuffled either way
+    assert plan_over.count("BroadcastHashJoin") < plan_under.count(
+        "BroadcastHashJoin"
+    )
+    assert {tuple(r) for r in over.collect()} == want
+
+
 def test_canonical_pairs(spark):
     df = spark.createDataFrame(
         [("b", "a"), ("a", "b"), ("a", "a"), ("c", "b")], "x string, y string"

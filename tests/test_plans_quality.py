@@ -9,7 +9,24 @@ SF = "/root/testdata/sf0.001"
 
 
 def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    """Executed-plan string with InMemoryRelation cached-plan subtrees
+    removed. A persisted frame (e.g. gated_broadcast's materialization)
+    renders its cached plan inline TWICE (the serialized cached plan and
+    the original plan that built it), double-counting join/exchange nodes
+    that at runtime execute once behind an InMemoryTableScan — the guards
+    here are about the live plan, not the cache-population plan."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    out, skip_depth = [], None
+    for line in plan.splitlines():
+        depth = len(line) - len(line.lstrip(" :+-"))
+        if skip_depth is not None:
+            if depth > skip_depth:
+                continue
+            skip_depth = None
+        out.append(line)
+        if "InMemoryRelation" in line:
+            skip_depth = depth
+    return "\n".join(out)
 
 
 @pytest.fixture(scope="module")
@@ -123,7 +140,10 @@ def test_repetition_stats_no_window_two_shuffles(spark, entrymod):
     shuffle exchanges — (doc, gram) counts and the per-doc max."""
     plan = _plan(entrymod.queries()["repetition_stats"](spark, SF))
     assert "Window" not in plan
-    assert plan.count("ShuffleExchange") <= 2 or plan.count("Exchange") <= 2
+    # Spark renders shuffle nodes as "Exchange hashpartitioning(...)" —
+    # counting "ShuffleExchange" would always be 0 and make this vacuous
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("Exchange") <= 2  # no extra broadcast/range exchanges either
 
 
 def test_lm_quality_score_join_strategies(spark, entrymod):
