@@ -76,6 +76,41 @@ def set_table_props(spark: SparkSession, table: str, props: dict) -> None:
     spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
 
 
+#: Iceberg copies every Spark session conf with this prefix into the
+#: snapshot summary of the commit it participates in (SparkWrite /
+#: row-level writes read them via SparkUtil.extraSnapshotMetadata /
+#: CommitMetadata) — the mechanism that lets commit metadata ride the
+#: SAME atomic commit as the data, unlike a follow-up ALTER TABLE.
+SNAPSHOT_PROP_PREFIX = "snapshot-property."
+
+
+def snapshot_summary_props(
+    spark: SparkSession, table: str, keys: list[str]
+) -> dict | None:
+    """The requested ``keys`` from the summary map of the most recent
+    Iceberg snapshot that carries ALL of them (None when no snapshot
+    does, or the table/metadata table is unreadable). This is the
+    commit-ATOMIC twin of ``read_table_props``: a property attached via
+    ``SNAPSHOT_PROP_PREFIX`` session confs exists exactly iff the commit
+    it rode on exists — there is no window where the data landed but the
+    guard did not."""
+    try:
+        rows = (
+            spark.sql(
+                f"SELECT summary FROM {table}.snapshots "
+                "ORDER BY committed_at DESC, snapshot_id DESC"
+            )
+            .collect()
+        )
+    except Exception:
+        return None
+    for r in rows:
+        summary = r["summary"] or {}
+        if all(k in summary for k in keys):
+            return {k: summary[k] for k in keys}
+    return None
+
+
 def merge_into_sql(
     table: str,
     src_view: str,
@@ -164,9 +199,18 @@ def _upsert_iceberg(
     exclude_update_cols: list[str] | None = None,
     add_cols: list[str] | None = None,
     min_cols: list[str] | None = None,
+    commit_props: dict | None = None,
 ) -> None:
     """One atomic MERGE INTO commit (snapshot isolation) — the scale
-    sink; the parquet snapshot dir is the sandbox stand-in."""
+    sink; the parquet snapshot dir is the sandbox stand-in.
+
+    ``commit_props`` are attached to the MERGE's own snapshot summary
+    (via ``SNAPSHOT_PROP_PREFIX`` session confs), so guard metadata and
+    data commit ATOMICALLY — a crash can never leave merged data without
+    its replay-guard record. When commit_props are given and the table
+    does not exist yet, the first batch is routed through CREATE-empty +
+    MERGE (instead of CTAS) so even batch 0's guard rides a MERGE
+    commit."""
     spark = df.sparkSession
     # MERGE requires a unique source key set: collapse the batch first.
     if mode == "additive":
@@ -200,10 +244,23 @@ def _upsert_iceberg(
         )
     view = f"_kgflow_merge_src_{os.getpid()}"
     batch.createOrReplaceTempView(view)
+    prop_keys = [SNAPSHOT_PROP_PREFIX + k for k in (commit_props or {})]
     try:
+        for k, v in (commit_props or {}).items():
+            spark.conf.set(SNAPSHOT_PROP_PREFIX + k, str(v))
         if not spark.catalog.tableExists(table):
-            spark.sql(f"CREATE TABLE {table} USING iceberg AS SELECT * FROM {view}")
-            return
+            if commit_props:
+                # empty CREATE, then MERGE: the guard props attach to the
+                # commit that actually carries batch 0's rows
+                spark.sql(
+                    f"CREATE TABLE {table} USING iceberg "
+                    f"AS SELECT * FROM {view} WHERE 1 = 0"
+                )
+            else:
+                spark.sql(
+                    f"CREATE TABLE {table} USING iceberg AS SELECT * FROM {view}"
+                )
+                return
         spark.sql(
             merge_into_sql(
                 table, view, batch.columns, keys, mode, merge_cols,
@@ -212,6 +269,8 @@ def _upsert_iceberg(
         )
     finally:
         spark.catalog.dropTempView(view)
+        for k in prop_keys:
+            spark.conf.unset(k)
 
 
 def upsert(
@@ -226,6 +285,7 @@ def upsert(
     add_cols: list[str] | None = None,
     min_cols: list[str] | None = None,
     meta: dict | None = None,
+    commit_props: dict | None = None,
 ) -> None:
     """MERGE-semantics upsert: one row per key, highest ``order_col`` wins;
     ties broken deterministically by the remaining columns' hash (no
@@ -258,15 +318,16 @@ def upsert(
     the fallback re-aggregates existing ∪ batch (the snapshot rewrite
     the Iceberg path exists to avoid).
 
-    ``meta`` rides the fallback's snapshot pointer flip atomically
-    (ignored on the Iceberg path — commit metadata belongs in the
-    table's snapshot summary there).
+    ``meta`` rides the fallback's snapshot pointer flip atomically;
+    ``commit_props`` is its Iceberg twin — snapshot summary properties
+    attached to the MERGE's own commit (each path ignores the other's
+    carrier).
     """
     spark = df.sparkSession
     if iceberg_table is not None and iceberg_available(spark):
         _upsert_iceberg(
             df, iceberg_table, keys, mode, merge_cols, exclude_update_cols,
-            add_cols, min_cols,
+            add_cols, min_cols, commit_props,
         )
         return
     existing = read_table(spark, path)

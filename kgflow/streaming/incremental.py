@@ -136,12 +136,13 @@ def incremental_extract_prov(
       rows — the whole point: the parquet fallback below re-aggregates
       existing ∪ batch, i.e. O(|snapshot|) per drain, which at 10⁹
       accumulated triples pays a full-table shuffle+rewrite for every
-      small drop. The replay guard rides TBLPROPERTIES; note the
-      property write commits just AFTER the MERGE, so a crash exactly
-      between the two can replay one batch — production deployments
-      should attach the (stream_id, batch_id) pair as Iceberg snapshot
-      summary properties so the guard is commit-atomic, as the pointer
-      flip already is on the fallback path.
+      small drop. The replay guard rides the MERGE's own SNAPSHOT
+      SUMMARY (``snapshot-property.*`` session confs → Iceberg commit
+      metadata), so guard and data commit atomically — the exact
+      commit-atomicity the fallback's pointer flip provides. Tables
+      written by the pre-atomic version (guard in TBLPROPERTIES via a
+      separate follow-up commit) are still read via the legacy
+      fallback.
     * **fallback** — the keyed parquet snapshot with the guard riding
       the atomic pointer flip (exactly as before).
 
@@ -197,17 +198,29 @@ def incremental_extract_prov(
             )
         return batch_id <= int(meta.get("merged_batch_id", -1))
 
+    GUARD_KEYS = ["kgflow.stream_id", "kgflow.merged_batch_id"]
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         stream_id = _stream_query_id(ckpt_loc)
         if use_iceberg:
-            props = mat.read_table_props(spark, iceberg_table)
+            # The guard lives in the SNAPSHOT SUMMARY of the MERGE commit
+            # itself (commit_props below), so guard and data commit
+            # atomically — no crash window where a batch merged but its
+            # guard record did not (the TBLPROPERTIES read is only a
+            # legacy fallback for tables written by the pre-atomic
+            # version, which recorded the guard in a separate commit).
+            props = mat.snapshot_summary_props(spark, iceberg_table, GUARD_KEYS)
+            if props is None:
+                legacy = mat.read_table_props(spark, iceberg_table)
+                if any(legacy.get(k) is not None for k in GUARD_KEYS):
+                    props = {k: legacy.get(k) for k in GUARD_KEYS}
             meta = None
-            if props.get("kgflow.stream_id") is not None or props.get(
-                "kgflow.merged_batch_id"
-            ) is not None:
+            if props is not None:
                 meta = {
                     "stream_id": props.get("kgflow.stream_id"),
-                    "merged_batch_id": int(props.get("kgflow.merged_batch_id", -1)),
+                    "merged_batch_id": int(
+                        props.get("kgflow.merged_batch_id") or -1
+                    ),
                 }
             elif spark.catalog.tableExists(iceberg_table):
                 meta = {"stream_id": None}  # table exists, no guard props
@@ -231,11 +244,7 @@ def incremental_extract_prov(
                 min_cols=["family"],
                 exclude_update_cols=["first_seen_run"],
                 iceberg_table=iceberg_table,
-            )
-            mat.set_table_props(
-                spark,
-                iceberg_table,
-                {
+                commit_props={
                     "kgflow.stream_id": stream_id,
                     "kgflow.merged_batch_id": batch_id,
                 },

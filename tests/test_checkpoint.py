@@ -314,6 +314,63 @@ def test_iceberg_switch_falls_back_without_jar(spark, tmp_path):
     assert got == {("k", "v2"), ("j", "x")}
 
 
+def test_iceberg_commit_props_atomic(spark, tmp_path, monkeypatch):
+    """Replay-guard atomicity on the Iceberg route: commit_props must be
+    live as ``snapshot-property.*`` session confs DURING the MERGE (so
+    Iceberg stamps them into that commit's snapshot summary), unset
+    afterwards, and a fresh table must route through empty-CREATE + MERGE
+    (never CTAS) so batch 0's guard rides the commit that carries its
+    rows. Exercised jar-free by intercepting spark.sql / tableExists."""
+    from pyspark.sql.session import SparkSession
+
+    calls = []
+    real_sql = SparkSession.sql
+
+    def fake_sql(self, q, *a, **kw):
+        calls.append(
+            (
+                q,
+                self.conf.get("snapshot-property.kgflow.stream_id", None),
+                self.conf.get("snapshot-property.kgflow.merged_batch_id", None),
+            )
+        )
+        if q.lstrip().upper().startswith(("CREATE", "MERGE")):
+            return None  # no Iceberg jar — record and skip execution
+        return real_sql(self, q, *a, **kw)
+
+    monkeypatch.setattr(SparkSession, "sql", fake_sql)
+    monkeypatch.setattr(mat, "iceberg_available", lambda s: True)
+    from pyspark.sql.catalog import Catalog
+
+    monkeypatch.setattr(Catalog, "tableExists", lambda self, t: False)
+
+    df = spark.createDataFrame([("s", "p", "o", 1)], "subj string, pred string, obj string, n_obs long")
+    mat.upsert(
+        df, str(tmp_path / "unused"), ["subj", "pred", "obj"],
+        mode="additive", add_cols=["n_obs"],
+        iceberg_table="ice.kg.prov",
+        commit_props={"kgflow.stream_id": "q-1", "kgflow.merged_batch_id": 0},
+    )
+    stmts = [c[0] for c in calls]
+    assert any("WHERE 1 = 0" in s for s in stmts if s.startswith("CREATE"))
+    merge = [c for c in calls if c[0].startswith("MERGE INTO ice.kg.prov")]
+    assert len(merge) == 1
+    # the guard confs were live during the MERGE call — same commit
+    assert merge[0][1] == "q-1" and merge[0][2] == "0"
+    # and unset once the upsert returned
+    assert spark.conf.get("snapshot-property.kgflow.stream_id", None) is None
+
+    # without commit_props a fresh table takes the one-commit CTAS
+    calls.clear()
+    mat.upsert(
+        df, str(tmp_path / "unused2"), ["subj", "pred", "obj"],
+        mode="additive", add_cols=["n_obs"], iceberg_table="ice.kg.prov2",
+    )
+    stmts = [c[0] for c in calls]
+    assert any(s.startswith("CREATE TABLE ice.kg.prov2") and "WHERE 1 = 0" not in s for s in stmts)
+    assert not any(s.startswith("MERGE") for s in stmts)
+
+
 def test_merge_into_sql_builder(spark):
     """The MERGE INTO statement builder: correct join/update shape, and
     the merge_props ON MATCH expression is valid Spark SQL implementing
