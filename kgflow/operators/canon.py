@@ -31,6 +31,19 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+#: codec for the CC loop's checkpoint spills — zstd compresses the
+#: long-pair merge maps ~3× tighter than Spark's snappy default at
+#: negligible extra CPU, on a loop that is spill-disk-bandwidth-bound
+#: at high core counts (PERF.md §22). Two tempting "optimizations"
+#: MEASURED AND REJECTED at 10M edges / 16 cores, same window
+#: (PERF.md §23): folding the dmap spill into the first doubling pass
+#: (the groupBy-min aggregate recomputes on both join sides — no
+#: exchange reuse — 90.5 → 128.8 s) and persisting the dmap in memory
+#: instead of spilling (90.5 → 156.2 s; the InMemoryRelation starves
+#: AQE and serializes the cache build). The parquet spill IS the fast
+#: form.
+_SPILL_CODEC = "zstd"
+
 
 def canonical_pairs(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     """One canonical (least, greatest) row per unordered pair, self-pairs
@@ -214,10 +227,15 @@ def connected_components(
     def spill(df: DataFrame, obs: Observation | None = None):
         """Parquet round-trip (truncates lineage + resets stats). If an
         Observation is attached, its metric is computed by the write job
-        and returned alongside — the write already knows its row count."""
+        and returned alongside — the write already knows its row count.
+        Spills compress with zstd (~3× smaller than the snappy default
+        on the long-pair maps this loop writes): the 16-core job is
+        bound on spill-disk bandwidth (PERF.md §22's tmpfs A/B), so
+        trading compression CPU for bytes on exactly these writes is the
+        single-box lever — and on a cluster it is network+disk saved."""
         p = f"{spill_dir}/s{spill_seq[0]}"
         spill_seq[0] += 1
-        df.write.mode("overwrite").parquet(p)
+        df.write.mode("overwrite").option("compression", _SPILL_CODEC).parquet(p)
         out = spark.read.parquet(p)
         if obs is None:
             return out
@@ -236,7 +254,10 @@ def connected_components(
         total instead of passes×|m|) and each pass is ONE join + ONE
         partitioned write; the build side stays the full current map
         (required for true doubling), assembled from the spilled parts.
-        The live count rides the write via Observation."""
+        The live count rides the write via Observation. ``m`` must be a
+        materialized (spilled) frame: handing it the raw groupBy-min
+        plan recomputes that aggregate on BOTH join sides — measured
+        +42% wall at 10M edges (PERF.md §23)."""
         done_parts: list[DataFrame] = []
         for _ in range(32):
             build = m
@@ -257,7 +278,9 @@ def connected_components(
             )
             p = f"{spill_dir}/s{spill_seq[0]}"
             spill_seq[0] += 1
-            nxt.write.mode("overwrite").partitionBy("_live").parquet(p)
+            nxt.write.mode("overwrite").partitionBy("_live").option(
+                "compression", _SPILL_CODEC
+            ).parquet(p)
             still = obs.get["m"] or 0
             full = spark.read.parquet(p)
             done_parts.append(full.filter(F.col("_live") == 0).drop("_live"))
@@ -339,16 +362,22 @@ def connected_components(
             nodes = dim.select(F.col("enc").alias("id"), "orig")
             loop_id_type = "bigint"
         else:
-            e_work = e
-            nodes = spill(e.select(F.col("a").alias("id")).union(e.select("b")).distinct())
-            loop_id_type = id_type
-        # symmetric closure once (no dedup — a map-only write; round 1's
-        # contraction dedups); afterwards the edge set lives on the
-        # shrinking label space
-        e2 = spill(
-            e_work.union(
-                e_work.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            # materialize the caller's plan once — the closure below and
+            # round 1 would otherwise recompute an arbitrary upstream DAG
+            e_work = spill(e)
+            nodes = spill(
+                e_work.select(F.col("a").alias("id")).union(e_work.select("b")).distinct()
             )
+            loop_id_type = id_type
+        # symmetric closure stays LAZY: a union of two projections of
+        # the spilled edge file. Writing it out (the round-4 shape) paid
+        # a 2|e|-row write — the single largest write of the whole loop
+        # — purely to re-read the same bytes; scanning the edge file
+        # twice per consuming job reads identical volume with zero extra
+        # writes on the bound disk. Round 1's contraction spill puts the
+        # edge set back on disk (deduped, contracted) for later rounds.
+        e2 = e_work.union(
+            e_work.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
         # Per-round merge maps, composed ONCE at the end. Domains are
         # disjoint across rounds (a label that merges away is rewritten
