@@ -2783,6 +2783,121 @@ def _r5_oracles() -> dict[str, str]:
     }
 
 
+def q_data_prep_pipeline_dedup(spark, sf):
+    """Production curation order: gate → exact-dedup keep-reps → mix →
+    pack as ONE Catalyst plan. The synthetic corpus is duplicate-free,
+    so the query injects a deterministic duplicate shard (every 5th doc
+    re-keyed +100000 — the shape of a backfill double-load) and the
+    dedup stage must collapse each fingerprint group to its min-id
+    representative BEFORE the mix measures token supply — duplicates
+    would otherwise inflate a source's measured tokens and depress
+    every rate. Dedup is joinless: one min_by(struct) aggregate on the
+    16-byte fingerprint key (no window, no re-join), the same shape at
+    any corpus size."""
+    from pyspark.sql import functions as F
+
+    from kgflow.functions import text as tx
+    from kgflow.operators import quality, sample
+
+    docs = _t(spark, sf, "documents")
+    dup = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    corpus = docs.unionByName(dup)
+    gate = quality.quality_gate(corpus, _QG_RULES)
+    kept = corpus.join(gate.filter("keep").select("doc_id"), "doc_id")
+    reps = (
+        kept.select(
+            "doc_id",
+            "source",
+            tx.token_count("text").cast("long").alias("n_tokens"),
+            tx.fingerprint("text").alias("fp"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "source", "n_tokens"), F.col("doc_id")
+            ).alias("r")
+        )
+        .select("r.doc_id", "r.source", "r.n_tokens")
+    )
+    mixed = sample.source_mix_sample(
+        reps, _MIX_WEIGHTS, _MIX_BUDGET, n_tokens_col="n_tokens"
+    )
+    return sample.pack_sequences(mixed, budget=512, n_tokens_col="n_tokens")
+
+
+_R6_QUERIES = {
+    "data_prep_pipeline_dedup": q_data_prep_pipeline_dedup,
+}
+
+
+def _r6_oracles() -> dict[str, str]:
+    return {
+        # gate -> exact-dedup keep-reps -> mix -> pack; the duplicate
+        # shard (doc_id%5==0, re-keyed +100000) is injected identically,
+        # dedup keeps row_number()=1 ordered by doc_id per fingerprint
+        # — the same min-id representative as Spark's min_by
+        "data_prep_pipeline_dedup": f"""
+            WITH corpus AS (
+              SELECT doc_id, source, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, source, text
+              FROM documents WHERE doc_id % 5 = 0
+            ), t AS (
+              SELECT doc_id, source, md5({_NORM}) AS fp, {_TOKS} AS t
+              FROM corpus
+            ), sig AS (
+              SELECT doc_id, source, fp, CAST(len(t) AS BIGINT) AS n_tokens,
+                CAST(len(t) AS BIGINT) AS n,
+                list_sum(list_transform(t, x -> len(x))) / len(t) AS avg_len,
+                round((len(t) - len(list_distinct(t)))
+                      / CAST(len(t) AS DOUBLE), 6) AS dup,
+                len(list_filter(t, x -> list_contains({_sw_list()}, x)))
+                  / len(t) AS swr
+              FROM t
+            ), kept AS (
+              SELECT doc_id, source, fp, n_tokens FROM sig
+              WHERE n >= {_QG_RULES["min_tokens"]}
+                AND n <= {_QG_RULES["max_tokens"]}
+                AND avg_len >= {_QG_RULES["min_avg_token_len"]!r}
+                AND avg_len <= {_QG_RULES["max_avg_token_len"]!r}
+                AND dup <= {_QG_RULES["max_dup_token_frac"]!r}
+                AND swr >= {_QG_RULES["min_stopword_ratio"]!r}
+            ), ded AS (
+              SELECT doc_id, source, n_tokens FROM (
+                SELECT k.*, row_number() OVER (
+                  PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM kept k
+              ) WHERE rn = 1
+            ), tot AS (
+              SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS nt
+              FROM ded GROUP BY source
+            ), thr AS (
+              SELECT source,
+                CAST(floor(least(1.0, {_mix_target_sql()} / nt)
+                           * 4294967296.0) AS BIGINT) AS thr
+              FROM tot
+            ), mixed AS (
+              SELECT d.source, d.doc_id, d.n_tokens
+              FROM ded d JOIN thr USING (source)
+              WHERE CAST(('0x' || substr(md5('kgflow|' || d.doc_id), 1, 8))
+                         AS BIGINT) < thr.thr
+            ), cum AS (
+              SELECT source, doc_id, n_tokens,
+                COALESCE(SUM(n_tokens) OVER (
+                  PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS c
+              FROM mixed
+            )
+            SELECT source, doc_id, n_tokens,
+                   CAST(floor(c / 512) AS BIGINT) AS bin_id,
+                   CAST(c % 512 AS BIGINT) AS bin_offset
+            FROM cum""",
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = _base_queries()
     q.update(_LATE_QUERIES)
@@ -2790,6 +2905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(_R3_QUERIES)
     q.update(_R4_QUERIES)
     q.update(_R5_QUERIES)
+    q.update(_R6_QUERIES)
     return q
 
 
@@ -2803,4 +2919,5 @@ def oracle_sql() -> dict[str, str]:
     o["kg_prov_rollup"] = _KG_PROV_ROLLUP_SQL
     o.update(_r4_oracles())
     o.update(_r5_oracles())
+    o.update(_r6_oracles())
     return o

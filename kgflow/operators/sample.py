@@ -205,6 +205,8 @@ def source_mix_sample(
     text_col: str = "text",
     n_tokens_col: str | None = None,
     salt: str = "kgflow",
+    stats: DataFrame | None = None,
+    stats_tokens_col: str = "n_tokens",
 ) -> DataFrame:
     """Sample the corpus to the ``source_mix_plan`` mixture: each
     source keeps the deterministic ``hash_keep`` fraction that lands
@@ -216,14 +218,27 @@ def source_mix_sample(
 
     Scale shape: the plan aggregate plus one broadcast join of the
     per-source rate table (bounded by the number of sources — a
-    curated enum, not a corpus fraction) and a narrow filter. The
-    corpus is scanned twice (measure, then filter) and shuffled never.
+    curated enum, not a corpus fraction) and a narrow filter. Without
+    ``stats`` the corpus is scanned twice (measure, then filter);
+    passing the maintained per-document stats table (``stats``,
+    ``stats_tokens_col`` — e.g. ``streaming.read_doc_stats``'s output,
+    whose ``n_tokens`` is the same token_count the text path computes)
+    moves the MEASURE pass onto that table — a narrow scan of
+    (source, n_tokens) with the text column never read — leaving the
+    filter as the only corpus scan. Membership is identical either way:
+    the hash is a function of the id alone, and the thresholds agree
+    whenever the stats table is current.
     """
     from ..functions import text as tx
     from .util import gated_broadcast
 
     plan = source_mix_plan(
-        docs, weights, token_budget, strat_col, text_col, n_tokens_col
+        docs if stats is None else stats,
+        weights,
+        token_budget,
+        strat_col,
+        text_col,
+        n_tokens_col if stats is None else stats_tokens_col,
     ).select(
         strat_col,
         # un-rounded threshold: recompute from the exact rate

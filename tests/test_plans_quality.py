@@ -168,6 +168,19 @@ def test_data_prep_pipeline_composition_plan(spark, entrymod):
     assert plan.count("Window") == 1
 
 
+def test_data_prep_pipeline_dedup_plan(spark, entrymod):
+    """gate->dedup->mix->pack as one plan: the dedup stage is a joinless
+    min_by aggregate on the fingerprint key (no second window, no
+    re-join), mix rates broadcast, exactly one window (the pack prefix
+    sum), no cartesian/sort-merge anywhere."""
+    plan = _plan(entrymod.queries()["data_prep_pipeline_dedup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Window") == 1
+    assert "min_by" in plan or "minBy" in plan  # the joinless keep-rep
+
+
 def test_bigram_lm_score_join_strategies(spark, entrymod):
     """The bigram/unigram fit tables must hash-broadcast under the
     gate at this scale; the only nested-loop is the deliberate 1-row

@@ -425,3 +425,43 @@ def test_pack_sequences_from_doc_stats(spark, tmp_path):
         tuple(r) for r in sample.pack_sequences(docs, budget=16).collect()
     }
     assert from_stats == from_text and from_stats
+
+
+def test_source_mix_from_doc_stats(spark, tmp_path):
+    """Composition: the maintained doc-stats table serves as the mix's
+    MEASURE pass (stats=...), so only the filter touches the corpus —
+    membership must be identical to measuring from raw text (the stats
+    table's n_tokens IS the same token_count)."""
+    from kgflow.operators import sample
+
+    docs = spark.createDataFrame(
+        [
+            (i, ["web", "books", "code"][i % 3], "en",
+             " ".join(f"w{j}" for j in range(2 + i % 9)))
+            for i in range(90)
+        ],
+        "doc_id long, source string, lang string, text string",
+    )
+    in_dir = str(tmp_path / "mix_docs_in")
+    out_dir = str(tmp_path / "mix_stats_out")
+    docs.write.mode("append").parquet(in_dir)
+    incremental.incremental_doc_stats(spark, in_dir, out_dir)
+    stats = incremental.read_doc_stats(spark, out_dir)
+    docs = spark.read.parquet(in_dir)  # file-backed: scans are countable
+    weights = {"web": 0.5, "books": 0.5}  # code visibly excluded
+    kw = dict(weights=weights, token_budget=120)
+    from_text = {
+        r.doc_id for r in sample.source_mix_sample(docs, **kw).collect()
+    }
+    from_stats_df = sample.source_mix_sample(docs, stats=stats, **kw)
+    from_stats = {r.doc_id for r in from_stats_df.collect()}
+    assert from_stats == from_text and from_stats
+    # the measure side must come from the STATS table, leaving the
+    # corpus scanned exactly once (the filter pass). The measured rates
+    # sit behind gated_broadcast's cache (InMemoryTableScan), so the
+    # LIVE plan's only file inputs are the corpus files — once.
+    fresh = sample.source_mix_sample(docs, stats=stats, **kw)
+    files = fresh.inputFiles()
+    assert files and all("mix_docs_in" in f for f in files)
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan  # the stats-measured rate table
