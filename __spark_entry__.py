@@ -2292,17 +2292,11 @@ def q_paragraph_dedup(spark, sf):
     )
 
 
-def q_cc_retract(spark, sf):
-    """Retraction-aware incremental CC (canon.retract_components):
-    deterministic same-as chains over part keys (edge k→k+1 unless
-    k%10==0: chains of ten), then the k%10==5 links are withdrawn
-    (every chain splits in two) and the k%50==1 links too (isolating
-    each affected chain head as a singleton that keeps its mapping
-    row). The retraction list arrives in REVERSED orientation to
-    exercise the unordered-pair matching. Oracle: recursive-CTE
-    closure over the surviving edges + self-rows for edge-less nodes."""
-    from kgflow.operators import canon
-
+def _cc_retract_inputs(spark, sf):
+    """(edges, removed) for the cc_retract fixture — shared by the
+    oracle query (which builds the base mapping inline) and the bench
+    (which persists the base mapping across trials, the deployment
+    shape: the mapping is maintained state, not per-drop work)."""
     k = F.col("k")
     base = (
         _t(spark, sf, "part")
@@ -2314,6 +2308,21 @@ def q_cc_retract(spark, sf):
     removed = base.filter(((k % 10) == 5) | ((k % 50) == 1)).select(
         pid(k + 1).alias("id_a"), pid(k).alias("id_b")
     )
+    return edges, removed
+
+
+def q_cc_retract(spark, sf):
+    """Retraction-aware incremental CC (canon.retract_components):
+    deterministic same-as chains over part keys (edge k→k+1 unless
+    k%10==0: chains of ten), then the k%10==5 links are withdrawn
+    (every chain splits in two) and the k%50==1 links too (isolating
+    each affected chain head as a singleton that keeps its mapping
+    row). The retraction list arrives in REVERSED orientation to
+    exercise the unordered-pair matching. Oracle: recursive-CTE
+    closure over the surviving edges + self-rows for edge-less nodes."""
+    from kgflow.operators import canon
+
+    edges, removed = _cc_retract_inputs(spark, sf)
     m0 = canon.connected_components(edges)
     return canon.retract_components(m0, edges, removed)
 

@@ -179,12 +179,17 @@ def connected_components(
     # the band the dedup count would be a corpus-scale shuffle spent on
     # a gate that is almost surely over anyway, so it is skipped.
     n_edges = e.limit(16 * driver_threshold + 1).count()
+    if n_edges <= driver_threshold:
+        # raw rows already fit: collect as-is — the union-find is
+        # duplicate-insensitive, so paying a dropDuplicates shuffle
+        # here would be a whole extra job for nothing
+        cmap = _union_find_map(e.collect())
+        return spark.createDataFrame(
+            list(cmap.items()), f"id {id_type}, canonical_id {id_type}"
+        )
     if n_edges <= 16 * driver_threshold:
         e_dist = e.dropDuplicates()
-        if (
-            n_edges <= driver_threshold
-            or e_dist.limit(driver_threshold + 1).count() <= driver_threshold
-        ):
+        if e_dist.limit(driver_threshold + 1).count() <= driver_threshold:
             cmap = _union_find_map(e_dist.collect())
             return spark.createDataFrame(
                 list(cmap.items()), f"id {id_type}, canonical_id {id_type}"
