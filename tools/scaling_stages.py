@@ -87,6 +87,30 @@ out["pack_shards"] = timed(lambda: packed.agg(
     F.max("bin_id"), F.bit_xor(F.xxhash64("doc_id", "bin_id", "bin_offset"))
 ).collect())
 
+# stage 5b: dedup tier — MinHash signatures -> banded LSH pairing ->
+# integer-Jaccard verify, the full near-dup chain, over conversation
+# documents (turns concatenated in turn order: deterministic text, so
+# both core levels hash identical docs). Doc construction is
+# checkpointed OUTSIDE the timing; the stage measures the dedup chain
+# itself: shingle explode + 8 md5 minhashes, band-key shuffle,
+# in-bucket self-join, pair dedup, shingle-set verify join.
+from kgflow.operators import dedup
+docs8 = tr.groupBy("conv_id").agg(
+    F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+            lambda s: s["text"],
+        ),
+        " ",
+    ).alias("text")
+).select(F.col("conv_id").alias("doc_id"), "text").localCheckpoint(eager=True)
+pairs8 = dedup.minhash_lsh_pairs(docs8)
+ver8 = dedup.jaccard_verify(docs8, pairs8)
+out["dedup_pairs"] = timed(lambda: ver8.agg(
+    F.count(F.lit(1)),
+    F.bit_xor(F.xxhash64("id_a", "id_b", "inter_size", "union_size")),
+).collect())
+
 # stage 6: full DAG incl. final global dedup shuffle (end-to-end)
 out["full_dag"] = timed(lambda: P.build_triples(tr, terms, isa, lex=lex).count())
 
