@@ -2836,13 +2836,98 @@ def q_data_prep_pipeline_dedup(spark, sf):
     return sample.pack_sequences(mixed, budget=512, n_tokens_col="n_tokens")
 
 
+def q_image_phash(spark, sf):
+    """64-bit image average-hash (multimodal.image_average_hash): PNG
+    header payloads built JVM-side, parsed byte-for-byte in an Arrow-
+    batched mapInPandas, stub pixel decode (no codec in the container;
+    deterministic function of the parsed header), mean-threshold bits,
+    signed-long packing. One narrow map — payload bytes never leave
+    the executor."""
+    from kgflow.operators import multimodal
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", multimodal.synth_png_payload("doc_id").alias("payload")
+    )
+    return multimodal.image_average_hash(d)
+
+
+def q_image_phash_pairs(spark, sf):
+    """Image near-dup pairs: hamming ≤ 3 on the 64-bit aHash via the
+    SAME pigeonhole banding + hot-bucket cap + bit_count(xor) verify
+    as the text SimHash tiers (dedup.signature_near_pairs) — dedup is
+    one machinery across modalities."""
+    from kgflow.operators import multimodal
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", multimodal.synth_png_payload("doc_id").alias("payload")
+    )
+    return multimodal.phash_near_pairs(d)
+
+
 _R6_QUERIES = {
     "data_prep_pipeline_dedup": q_data_prep_pipeline_dedup,
+    "image_phash": q_image_phash,
+    "image_phash_pairs": q_image_phash_pairs,
 }
+
+# pixel stub + aHash mirrored cell-for-cell: dims from doc_id, class
+# pattern + fine-position flip, mean threshold, signed-64 packing
+_PHASH_SIG_SQL = """
+WITH dims AS (
+  SELECT doc_id, 64 + doc_id % 192 AS w, 64 + (doc_id * 7) % 128 AS h
+  FROM documents
+), cells AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, 63)) AS c FROM dims
+), pix AS (
+  SELECT doc_id, w, h, c,
+    200 * xor((((w // 8) * 31 + (h // 8) * 17 + c * 40503) % 97) % 2,
+              CASE WHEN c = (w % 8) + 8 * (h % 8) THEN 1 ELSE 0 END) AS p
+  FROM cells
+), bits AS (
+  SELECT doc_id, w, h, c,
+         CASE WHEN p > AVG(p) OVER (PARTITION BY doc_id) THEN 1 ELSE 0 END AS b
+  FROM pix
+), sig AS (
+  SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+    CAST(SUM(CASE WHEN b = 1 THEN
+      CASE WHEN c = 63 THEN -9223372036854775807 - 1
+           ELSE (CAST(1 AS BIGINT) << c) END
+    ELSE 0 END) AS BIGINT) AS phash
+  FROM bits GROUP BY doc_id, w, h
+)"""
 
 
 def _r6_oracles() -> dict[str, str]:
     return {
+        "image_phash": _PHASH_SIG_SQL
+        + "\nSELECT doc_id, width, height, phash FROM sig",
+        # 4 pigeonhole bands of 16 bits over the aHash, hot-bucket cap
+        # 500, bit_count(xor) <= 3 exact verify — the simhash64 banding
+        # applied to the image signature
+        "image_phash_pairs": _PHASH_SIG_SQL
+        + """,
+            bands0 AS (
+              SELECT doc_id, phash, 0 AS band_id, phash & 65535 AS band_val FROM sig
+              UNION ALL
+              SELECT doc_id, phash, 1, (phash >> 16) & 65535 FROM sig
+              UNION ALL
+              SELECT doc_id, phash, 2, (phash >> 32) & 65535 FROM sig
+              UNION ALL
+              SELECT doc_id, phash, 3, (phash >> 48) & 65535 FROM sig
+            ),
+            bands AS (
+              SELECT doc_id, phash, band_id, band_val FROM bands0
+              QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_val) <= 500
+            ),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                     l.phash AS sa, r.phash AS sb
+              FROM bands l JOIN bands r
+                ON l.band_id = r.band_id AND l.band_val = r.band_val
+               AND l.doc_id < r.doc_id
+            )
+            SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 3""",
         # gate -> exact-dedup keep-reps -> mix -> pack; the duplicate
         # shard (doc_id%5==0, re-keyed +100000) is injected identically,
         # dedup keeps row_number()=1 ordered by doc_id per fingerprint

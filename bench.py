@@ -70,6 +70,9 @@ EXTRAS = [
     "data_prep_pipeline",
     "lm_quality_score",
     "bigram_lm_score",
+    # round-6 additions
+    "data_prep_pipeline_dedup",
+    "image_phash_pairs",
 ]
 
 _CACHE_ROOT = os.environ.get("KGFLOW_BENCH_CACHE", "/tmp/kgflow_bench")

@@ -360,24 +360,24 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def _simhash_bands(
-    docs: DataFrame,
+def signature_bands(
+    sigs: DataFrame,
     id_col: str,
-    text_col: str,
+    sig_col: str,
     max_hamming: int,
     bits: int,
 ) -> DataFrame:
-    """(id, simhash, band_id, band_val): pigeonhole banding — split the
-    signature into ``max_hamming + 1`` disjoint bands; two signatures
-    within the hamming bound must agree exactly on ≥1 band."""
-    if bits not in (16, 64):
-        raise ValueError(f"simhash bits must be 16 or 64, got {bits}")
+    """(id, <sig_col>, band_id, band_val): pigeonhole banding over ANY
+    ``bits``-wide integer signature column — split the signature into
+    ``max_hamming + 1`` disjoint bands; two signatures within the
+    hamming bound must agree exactly on ≥1 band. Shared by the text
+    SimHash tiers and the image pHash tier (multimodal.py) — one
+    banding implementation, every signature family."""
     n_bands = max_hamming + 1
     widths: list[int] = []
     base, rem = divmod(bits, n_bands)
     for i in range(n_bands):
         widths.append(base + (1 if i < rem else 0))
-    sigs = (simhash16 if bits == 16 else simhash64)(docs, id_col, text_col)
     offs = 0
     band_structs = []
     for b, w in enumerate(widths):
@@ -387,13 +387,62 @@ def _simhash_bands(
         band_structs.append(
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.shiftright("simhash", offs).bitwiseAND(F.lit((1 << w) - 1)).alias("band_val"),
+                F.shiftright(sig_col, offs).bitwiseAND(F.lit((1 << w) - 1)).alias("band_val"),
             )
         )
         offs += w
     return sigs.select(
-        id_col, "simhash", F.explode(F.array(*band_structs)).alias("band")
-    ).select(id_col, "simhash", "band.band_id", "band.band_val")
+        id_col, sig_col, F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, sig_col, "band.band_id", "band.band_val")
+
+
+def signature_near_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int,
+    bits: int,
+    max_bucket: int | None,
+) -> DataFrame:
+    """(id_a, id_b, hamming ≤ max_hamming) over any integer signature
+    frame via pigeonhole banding: candidates form only inside
+    (band_id, band_val) buckets (one equi-join shuffle), hot buckets
+    capped like every LSH tier here, ``bit_count(xor)`` exact verify."""
+    bands = signature_bands(sigs, id_col, sig_col, max_hamming, bits)
+    if max_bucket is not None:
+        bands = _drop_hot_buckets(bands, ["band_id", "band_val"], max_bucket)
+    l = bands.alias("l")
+    r = bands.alias("r")
+    cand = (
+        l.join(r, ["band_id", "band_val"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col(f"l.{sig_col}").alias("_sa"),
+            F.col(f"r.{sig_col}").alias("_sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return cand.select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def _simhash_bands(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int,
+    bits: int,
+) -> DataFrame:
+    """Text-SimHash banding: compute the ``bits``-wide signature, then
+    ``signature_bands`` it."""
+    if bits not in (16, 64):
+        raise ValueError(f"simhash bits must be 16 or 64, got {bits}")
+    sigs = (simhash16 if bits == 16 else simhash64)(docs, id_col, text_col)
+    return signature_bands(sigs, id_col, "simhash", max_hamming, bits)
 
 
 def simhash_cap_stats(
@@ -444,26 +493,10 @@ def simhash_near_pairs(
     exact-dedup tier's job, not pairwise search. What the cap drops is
     observable via ``simhash_cap_stats`` at the same parameters.
     """
-    bands = _simhash_bands(docs, id_col, text_col, max_hamming, bits)
-    if max_bucket is not None:
-        bands = _drop_hot_buckets(bands, ["band_id", "band_val"], max_bucket)
-    l = bands.alias("l")
-    r = bands.alias("r")
-    cand = (
-        l.join(r, ["band_id", "band_val"])
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.simhash").alias("_sa"),
-            F.col("r.simhash").alias("_sb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
-    return cand.select(
-        "id_a", "id_b", ham.cast("int").alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
+    if bits not in (16, 64):
+        raise ValueError(f"simhash bits must be 16 or 64, got {bits}")
+    sigs = (simhash16 if bits == 16 else simhash64)(docs, id_col, text_col)
+    return signature_near_pairs(sigs, id_col, "simhash", max_hamming, bits, max_bucket)
 
 
 def dedup_clusters(

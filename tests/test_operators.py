@@ -902,3 +902,53 @@ def test_bigram_logprob_score(spark):
     (row,) = quality.bigram_logprob_score(stream, fit_docs=docs).collect()
     # -367977 (uni a) + round(log10(0.4*0.5/7)*1e6) = -1544068
     assert (row.n_tokens, row.bigram_lm_score) == (2, -0.956)
+
+
+def test_image_phash_matches_reference_and_bruteforce(spark):
+    """Image aHash tier: the mapInPandas decode (real PNG header parse
+    + stub pixel grid) matches an independent python reference
+    (dims re-derived from the id, pixel/mean/packing recomputed from
+    the published formulas), and the banded near-pairs at hamming <= 3
+    equal an all-pairs bit_count check — same completeness bar the
+    text SimHash tiers pass."""
+    from kgflow.operators import multimodal
+
+    ids = list(range(100))
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long").select(
+        "doc_id", multimodal.synth_png_payload("doc_id").alias("payload")
+    )
+
+    def ref_hash(i):
+        w, h = 64 + i % 192, 64 + (i * 7) % 128
+        c0 = (w % 8) + 8 * (h % 8)
+        base = (w // 8) * 31 + (h // 8) * 17
+        px = [
+            200 * ((((base + c * 40503) % 97) % 2) ^ (1 if c == c0 else 0))
+            for c in range(64)
+        ]
+        mean = sum(px) / 64.0
+        sig = sum(1 << c for c, p in enumerate(px) if p > mean)
+        return sig - (1 << 64) if sig >= 1 << 63 else sig
+
+    want_sig = {i: ref_hash(i) for i in ids}
+    got = {
+        r.doc_id: (r.width, r.height, r.phash)
+        for r in multimodal.image_average_hash(docs).collect()
+    }
+    assert {i: v[2] for i, v in got.items()} == want_sig
+    assert all(
+        got[i][:2] == (64 + i % 192, 64 + (i * 7) % 128) for i in ids
+    )
+
+    mask = (1 << 64) - 1
+    want = {
+        (a, b, bin((want_sig[a] ^ want_sig[b]) & mask).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((want_sig[a] ^ want_sig[b]) & mask).count("1") <= 3
+    }
+    got_pairs = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in multimodal.phash_near_pairs(docs).collect()
+    }
+    assert got_pairs == want and want  # non-vacuous
