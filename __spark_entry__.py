@@ -2864,10 +2864,52 @@ def q_image_phash_pairs(spark, sf):
     return multimodal.phash_near_pairs(d)
 
 
+def q_image_resize(spark, sf):
+    """Aspect-preserving fit-into-box resize (multimodal.image_resize):
+    PNG header parse + pure-integer target dims + 4x4 nearest-neighbor
+    luminance thumbnail off the decoded grid. One Arrow-batched narrow
+    map — the resize plumbing of the multimodal family."""
+    from kgflow.operators import multimodal
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", multimodal.synth_png_payload("doc_id").alias("payload")
+    )
+    return multimodal.image_resize(d)
+
+
+def q_video_frame_sample(spark, sf):
+    """Uniform video frame sampling (multimodal.video_frame_sample):
+    container header parse, endpoint-inclusive k*(n-1)//(k_max) frame
+    selection BEFORE any per-frame decode, one row per selected frame.
+    Narrow map, <= 8 rows out per clip."""
+    from kgflow.operators import multimodal
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", multimodal.synth_video_payload("doc_id").alias("payload")
+    )
+    return multimodal.video_frame_sample(d)
+
+
+def q_audio_frame_energy(spark, sf):
+    """Per-frame audio energy (multimodal.audio_frame_energy): real
+    little-endian int16 PCM decode via numpy.frombuffer, 128-sample
+    full frames, exact-integer sum-of-squares + peak — the
+    VAD/clipping signals an audio curation gate filters on."""
+    from kgflow.operators import multimodal
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", multimodal.synth_pcm_payload("doc_id").alias("payload")
+    )
+    return multimodal.audio_frame_energy(d)
+
+
 _R6_QUERIES = {
     "data_prep_pipeline_dedup": q_data_prep_pipeline_dedup,
     "image_phash": q_image_phash,
     "image_phash_pairs": q_image_phash_pairs,
+    "image_resize": q_image_resize,
+    "video_frame_sample": q_video_frame_sample,
+    "audio_frame_energy": q_audio_frame_energy,
 }
 
 # pixel stub + aHash mirrored cell-for-cell: dims from doc_id, class
@@ -2989,6 +3031,86 @@ def _r6_oracles() -> dict[str, str]:
                    CAST(floor(c / 512) AS BIGINT) AS bin_id,
                    CAST(c % 512 AS BIGINT) AS bin_offset
             FROM cum""",
+        # fit-into-box dims are pure integer arithmetic; the 4x4 thumb
+        # is nearest-neighbor over the same stub pixel formula the
+        # pHash oracle mirrors (cell c = 2*(k%4) + 16*(k//4))
+        "image_resize": """
+            WITH dims AS (
+              SELECT doc_id, 64 + doc_id % 192 AS w,
+                     64 + (doc_id * 7) % 128 AS h
+              FROM documents
+            ), fit AS (
+              SELECT doc_id, w, h,
+                CASE WHEN w * 32 <= h * 32
+                     THEN GREATEST(1, w * LEAST(h, 32) // h)
+                     ELSE LEAST(w, 32) END AS nw,
+                CASE WHEN w * 32 <= h * 32
+                     THEN LEAST(h, 32)
+                     ELSE GREATEST(1, h * LEAST(w, 32) // w) END AS nh
+              FROM dims
+            ), cells AS (
+              SELECT doc_id, w, h, nw, nh,
+                     unnest(generate_series(0, 15)) AS k
+              FROM fit
+            ), px AS (
+              SELECT doc_id, w, h, nw, nh, k,
+                     2 * (k % 4) + 16 * (k // 4) AS c
+              FROM cells
+            ), val AS (
+              SELECT doc_id, w, h, nw, nh, k,
+                200 * xor((((w // 8) * 31 + (h // 8) * 17 + c * 40503)
+                           % 97) % 2,
+                          CASE WHEN c = (w % 8) + 8 * (h % 8)
+                               THEN 1 ELSE 0 END) AS p
+              FROM px
+            )
+            SELECT doc_id, CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   CAST(nw AS BIGINT) AS new_width,
+                   CAST(nh AS BIGINT) AS new_height,
+                   list(CAST(p AS INTEGER) ORDER BY k) AS thumb
+            FROM val GROUP BY doc_id, w, h, nw, nh""",
+        # endpoint-inclusive uniform selection k*(nf-1)//7, all frames
+        # for short clips; DISTINCT mirrors the operator's set-dedup
+        "video_frame_sample": """
+            WITH v AS (
+              SELECT doc_id, 10 + doc_id % 240 AS nf,
+                     12 + (doc_id * 3) % 18 AS fps
+              FROM documents
+            ), ks AS (
+              SELECT doc_id, nf, fps, unnest(generate_series(0, 7)) AS k
+              FROM v
+            ), sel AS (
+              SELECT DISTINCT doc_id, nf, fps,
+                CASE WHEN nf <= 8 THEN k ELSE k * (nf - 1) // 7 END
+                  AS frame_idx
+              FROM ks WHERE nf > 8 OR k < nf
+            )
+            SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                   CAST(frame_idx * 1000 // fps AS BIGINT) AS ts_ms,
+                   CAST((doc_id * 1000003 + frame_idx) % 2147483647
+                        AS BIGINT) AS frame_key,
+                   CAST(nf AS BIGINT) AS n_frames,
+                   CAST(fps AS BIGINT) AS fps
+            FROM sel""",
+        # the PCM waveform is the published integer recurrence; full
+        # 128-sample frames only, exact-integer energy + peak
+        "audio_frame_energy": """
+            WITH a AS (
+              SELECT doc_id, 512 + doc_id % 256 AS n FROM documents
+            ), s AS (
+              SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
+              FROM a
+            ), x AS (
+              SELECT doc_id, n, i // 128 AS frame_idx,
+                ((doc_id * 2654435761 + i * 40503) % 65536) - 32768 AS v
+              FROM s WHERE (i // 128 + 1) * 128 <= n
+            )
+            SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                   CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+                   CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+                   CAST(MAX(n) AS BIGINT) AS n_samples
+            FROM x GROUP BY doc_id, frame_idx""",
     }
 
 

@@ -904,6 +904,73 @@ def test_bigram_logprob_score(spark):
     assert (row.n_tokens, row.bigram_lm_score) == (2, -0.956)
 
 
+def test_multimodal_resize_framesample_audio_match_reference(spark):
+    """The round-6 multimodal completions (resize / video frame-sample
+    / audio frame energy) each match an independent pure-python
+    reference exactly: integer fit-into-box dims + nearest-neighbor
+    thumbnail off the stub grid; endpoint-inclusive k*(nf-1)//7 frame
+    selection with all-frames fallback; per-frame Σx²/peak over real
+    little-endian int16 PCM decode (including the |-32768| widening)."""
+    from kgflow.operators import multimodal as M
+
+    ids = list(range(40))
+    d = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+    def pix(w, h):
+        c0 = (w % 8) + 8 * (h % 8)
+        base = (w // 8) * 31 + (h // 8) * 17
+        return [
+            200 * ((((base + c * 40503) % 97) % 2) ^ (1 if c == c0 else 0))
+            for c in range(64)
+        ]
+
+    img = d.select("doc_id", M.synth_png_payload("doc_id").alias("payload"))
+    got_r = {
+        r.doc_id: (r.width, r.height, r.new_width, r.new_height, r.thumb)
+        for r in M.image_resize(img).collect()
+    }
+    want_r = {}
+    for i in ids:
+        w, h = 64 + i % 192, 64 + (i * 7) % 128
+        if w * 32 <= h * 32:
+            nh = min(h, 32)
+            nw = max(1, w * nh // h)
+        else:
+            nw = min(w, 32)
+            nh = max(1, h * nw // w)
+        px = pix(w, h)
+        want_r[i] = (w, h, nw, nh,
+                     [px[2 * tx + 16 * ty] for ty in range(4) for tx in range(4)])
+    assert got_r == want_r
+
+    vid = d.select("doc_id", M.synth_video_payload("doc_id").alias("payload"))
+    got_v = {
+        (r.doc_id, r.frame_idx): (r.ts_ms, r.frame_key, r.n_frames, r.fps)
+        for r in M.video_frame_sample(vid).collect()
+    }
+    want_v = {}
+    for i in ids:
+        nf, fps = 10 + i % 240, 12 + (i * 3) % 18
+        sel = range(nf) if nf <= 8 else sorted({k * (nf - 1) // 7 for k in range(8)})
+        for fi in sel:
+            want_v[(i, fi)] = (fi * 1000 // fps, (i * 1000003 + fi) % 2147483647, nf, fps)
+    assert got_v == want_v
+
+    au = d.select("doc_id", M.synth_pcm_payload("doc_id").alias("payload"))
+    got_a = {
+        (r.doc_id, r.frame_idx): (r.sum_sq, r.peak, r.n_samples)
+        for r in M.audio_frame_energy(au).collect()
+    }
+    want_a = {}
+    for i in ids:
+        n = 512 + i % 256
+        xs = [((i * 2654435761 + j * 40503) % 65536) - 32768 for j in range(n)]
+        for f in range(n // 128):
+            seg = xs[f * 128 : (f + 1) * 128]
+            want_a[(i, f)] = (sum(v * v for v in seg), max(abs(v) for v in seg), n)
+    assert got_a == want_a
+
+
 def test_image_phash_matches_reference_and_bruteforce(spark):
     """Image aHash tier: the mapInPandas decode (real PNG header parse
     + stub pixel grid) matches an independent python reference
