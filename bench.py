@@ -73,6 +73,9 @@ EXTRAS = [
     # round-6 additions
     "data_prep_pipeline_dedup",
     "image_phash_pairs",
+    "image_resize",
+    "video_frame_sample",
+    "audio_frame_energy",
 ]
 
 _CACHE_ROOT = os.environ.get("KGFLOW_BENCH_CACHE", "/tmp/kgflow_bench")
