@@ -2903,8 +2903,39 @@ def q_audio_frame_energy(spark, sf):
     return multimodal.audio_frame_energy(d)
 
 
+def q_trigram_lm_score(spark, sf):
+    """Stupid-backoff trigram LM with a PRUNED count table
+    (quality.trigram_logprob_score): fit on the deterministic 50%
+    hash sample with singleton trigrams pruned (min_count=2), score
+    the FULL corpus — so the pruned-trigram, seen-bigram, and
+    unigram-floor backoff branches all fire live. Pruning is the
+    KenLM-style lever that keeps the web-scale trigram table
+    proportional to the head of the Zipf distribution."""
+    from kgflow.operators import quality, sample
+
+    docs = _t(spark, sf, "documents")
+    return quality.trigram_logprob_score(
+        docs, fit_docs=sample.hash_sample(docs, 0.5), prune_min_count=2
+    )
+
+
+def q_trigram_prune_stats(spark, sf):
+    """Prune observability (quality.trigram_prune_stats): trigram
+    types/mass kept vs dropped at min_count=2 over the full corpus —
+    the check that the Zipf asymmetry (most TYPES dropped, little
+    MASS dropped) actually holds before trusting the pruned scorer.
+    Same no-silent-caps contract as lsh_cap_stats."""
+    from kgflow.operators import quality
+
+    return quality.trigram_prune_stats(
+        _t(spark, sf, "documents"), prune_min_count=2
+    )
+
+
 _R6_QUERIES = {
     "data_prep_pipeline_dedup": q_data_prep_pipeline_dedup,
+    "trigram_lm_score": q_trigram_lm_score,
+    "trigram_prune_stats": q_trigram_prune_stats,
     "image_phash": q_image_phash,
     "image_phash_pairs": q_image_phash_pairs,
     "image_resize": q_image_resize,
@@ -2939,8 +2970,119 @@ WITH dims AS (
 )"""
 
 
+# (prev2, prev1, cur) context stream via 1-based scalar indexing of
+# the token array over a generate_series of positions — positionally
+# identical to Spark's indexed-transform-then-explode stream
+_TRI_FIT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), fit AS (
+  SELECT t FROM toks
+  WHERE CAST(('0x' || substr(md5('kgflow|' || doc_id), 1, 8))
+             AS BIGINT) < 2147483648
+), fpos AS (
+  SELECT t, unnest(generate_series(1, len(t))) AS pos FROM fit
+), fpair AS (
+  SELECT CASE WHEN pos >= 3 THEN t[pos - 2] END AS prev2,
+         CASE WHEN pos >= 2 THEN t[pos - 1] END AS prev1,
+         t[pos] AS cur
+  FROM fpos
+)"""
+
+
 def _r6_oracles() -> dict[str, str]:
     return {
+        # stupid-backoff trigram LM, singleton trigrams pruned
+        # (HAVING >= 2), fit on the 50% hash sample, scored on the
+        # full corpus — chain: pruned trigram -> alpha*bigram ->
+        # alpha^2*unigram, 0.5-count floor for unseen tokens
+        "trigram_lm_score": _TRI_FIT_SQL
+        + """,
+            uni AS (
+              SELECT cur AS tok, CAST(COUNT(*) AS BIGINT) AS cu
+              FROM fpair GROUP BY cur
+            ), tot AS (
+              SELECT CAST(SUM(cu) AS DOUBLE) AS n FROM uni
+            ), big AS (
+              SELECT prev1, cur, CAST(COUNT(*) AS BIGINT) AS cb
+              FROM fpair WHERE prev1 IS NOT NULL GROUP BY prev1, cur
+            ), tri AS (
+              SELECT prev2, prev1, cur, CAST(COUNT(*) AS BIGINT) AS ct
+              FROM fpair WHERE prev2 IS NOT NULL
+              GROUP BY prev2, prev1, cur
+              HAVING COUNT(*) >= 2
+            ), spos AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, len(t))) AS pos
+              FROM toks
+            ), spair AS (
+              SELECT doc_id,
+                     CASE WHEN pos >= 3 THEN t[pos - 2] END AS prev2,
+                     CASE WHEN pos >= 2 THEN t[pos - 1] END AS prev1,
+                     t[pos] AS cur
+              FROM spos
+            ), sc AS (
+              SELECT s.doc_id, CAST(round(
+                CASE
+                  WHEN s.prev1 IS NULL THEN
+                    log10(COALESCE(CAST(uc.cu AS DOUBLE), 0.5) / tot.n)
+                  WHEN s.prev2 IS NULL THEN
+                    CASE WHEN b.cb IS NOT NULL THEN
+                      log10(b.cb / CAST(up.cu AS DOUBLE))
+                    ELSE
+                      log10(CAST(0.4 AS DOUBLE)
+                            * COALESCE(CAST(uc.cu AS DOUBLE), 0.5) / tot.n)
+                    END
+                  WHEN t3.ct IS NOT NULL THEN
+                    log10(t3.ct / CAST(bc.cb AS DOUBLE))
+                  WHEN b.cb IS NOT NULL THEN
+                    log10(CAST(0.4 AS DOUBLE) * b.cb
+                          / CAST(up.cu AS DOUBLE))
+                  ELSE
+                    log10(CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+                          * COALESCE(CAST(uc.cu AS DOUBLE), 0.5) / tot.n)
+                END * 1000000, 0) AS BIGINT) AS lp6
+              FROM spair s
+              LEFT JOIN tri t3 ON s.prev2 = t3.prev2
+                              AND s.prev1 = t3.prev1 AND s.cur = t3.cur
+              LEFT JOIN big b ON s.prev1 = b.prev1 AND s.cur = b.cur
+              LEFT JOIN big bc ON s.prev2 = bc.prev1 AND s.prev1 = bc.cur
+              LEFT JOIN uni up ON s.prev1 = up.tok
+              LEFT JOIN uni uc ON s.cur = uc.tok
+              CROSS JOIN tot
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   round(SUM(lp6) / (COUNT(*) * 1000000.0), 4)
+                     AS trigram_lm_score
+            FROM sc GROUP BY doc_id""",
+        # prune observability over the FULL corpus (no sample): types
+        # and count mass kept vs dropped at min_count=2
+        "trigram_prune_stats": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ), fpos AS (
+              SELECT t, unnest(generate_series(1, len(t))) AS pos
+              FROM toks
+            ), fpair AS (
+              SELECT CASE WHEN pos >= 3 THEN t[pos - 2] END AS prev2,
+                     CASE WHEN pos >= 2 THEN t[pos - 1] END AS prev1,
+                     t[pos] AS cur
+              FROM fpos
+            ), tri AS (
+              SELECT prev2, prev1, cur, COUNT(*) AS ct
+              FROM fpair WHERE prev2 IS NOT NULL
+              GROUP BY prev2, prev1, cur
+            )
+            SELECT
+              CAST(SUM(CASE WHEN ct >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS kept_types,
+              CAST(SUM(CASE WHEN ct < 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS dropped_types,
+              CAST(SUM(CASE WHEN ct >= 2 THEN ct ELSE 0 END) AS BIGINT)
+                AS kept_mass,
+              CAST(SUM(CASE WHEN ct < 2 THEN ct ELSE 0 END) AS BIGINT)
+                AS dropped_mass
+            FROM tri""",
         "image_phash": _PHASH_SIG_SQL
         + "\nSELECT doc_id, width, height, phash FROM sig",
         # 4 pigeonhole bands of 16 bits over the aHash, hot-bucket cap

@@ -207,6 +207,174 @@ def unigram_logprob_score(
     )
 
 
+def _context_stream(
+    d: DataFrame, text_col: str, id_col: str | None = None
+) -> DataFrame:
+    """Per-token (prev2, prev1, cur) stream, built in-row: tokenize
+    once into a projected array column, then a single indexed
+    ``transform`` reads the two predecessors via 0-based ``F.get``
+    (NULL out-of-bounds — no conditional guards, no per-element
+    re-tokenize), and one explode yields the stream. Zero shuffle;
+    the array never outlives the projection."""
+    cols = [F.col(id_col)] if id_col else []
+    base = d.select(*cols, tx.tokens(text_col).alias("_t"))
+    trips = F.transform(
+        F.col("_t"),
+        lambda x, i: F.struct(
+            F.get(F.col("_t"), i - 2).alias("prev2"),
+            F.get(F.col("_t"), i - 1).alias("prev1"),
+            x.alias("cur"),
+        ),
+    )
+    return base.select(
+        *([id_col] if id_col else []), F.explode(trips).alias("p")
+    ).select(
+        *([id_col] if id_col else []),
+        F.col("p.prev2").alias("prev2"),
+        F.col("p.prev1").alias("prev1"),
+        F.col("p.cur").alias("cur"),
+    )
+
+
+def trigram_logprob_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    backoff_alpha: float = 0.4,
+    prune_min_count: int = 2,
+    table_broadcast_threshold: int = 2_000_000,
+    fit_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Trigram LM quality score with stupid backoff and a PRUNED
+    trigram table — the KenLM-style shape (Heafield 2011 prunes
+    singleton n-grams for exactly this reason): at web scale the
+    trigram type count grows near-linearly with the corpus while
+    bigram/unigram tables saturate, so the trigram table is the one
+    that can neither broadcast nor fit a reasonable shuffle side.
+    Dropping types with fit count < ``prune_min_count`` removes the
+    long tail (typically most TYPES but a small count MASS — measure
+    with :func:`trigram_prune_stats`); a pruned-away trigram simply
+    takes the backoff path, which is the stupid-backoff contract.
+
+    Chain: P(w|p2,p1) = c3(p2,p1,w)/c2(p2,p1) when the pruned table
+    has the trigram; else ``alpha``·c2(p1,w)/c1(p1) when the bigram
+    was seen; else ``alpha``²·c1(w)/N. Positions 1 and 2 score by the
+    unigram / backed-off-bigram models. Unseen-even-at-unigram tokens
+    take count 0.5 (same floor as :func:`bigram_logprob_score`).
+
+    Exactness: per-position log10-probs scale to integers
+    (round(lp·10⁶)) before the per-doc sum — partition-order exact,
+    engine-portable. Fit on ``fit_docs`` when given (fit-on-sample /
+    score-full-corpus is the intended use — it exercises every
+    branch live), else on ``docs``.
+
+    Scale shape: three fit aggregates (all map-side partial; the
+    trigram one is pruned BEFORE it is joined or gated), then the
+    token stream left-joins five dimension tables — each size-gated
+    (broadcast below ``table_broadcast_threshold`` rows, shuffle hash
+    join above; the web-scale trigram table takes the shuffle, and
+    pruning is what keeps that shuffle side proportional to the HEAD
+    of the distribution) — plus a 1-row total broadcast, and one
+    per-doc aggregate."""
+    from .util import gated_broadcast
+
+    fit = _context_stream(
+        fit_docs if fit_docs is not None else docs, text_col
+    )
+    uni = fit.groupBy(F.col("cur").alias("tok")).agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    tot = uni.agg(F.sum("cu").cast("double").alias("n"))
+    big = (
+        fit.filter(F.col("prev1").isNotNull())
+        .groupBy("prev1", "cur")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    tri = (
+        fit.filter(F.col("prev2").isNotNull())
+        .groupBy("prev2", "prev1", "cur")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    if prune_min_count > 1:
+        tri = tri.filter(F.col("ct") >= int(prune_min_count))
+
+    stream = _context_stream(docs, text_col, id_col=id_col)
+    big_ctx = big.select(
+        F.col("prev1").alias("prev2"),
+        F.col("cur").alias("prev1"),
+        F.col("cb").alias("cb_ctx"),
+    )
+    uni_prev = uni.select(F.col("tok").alias("prev1"), F.col("cu").alias("cu_prev"))
+    uni_cur = uni.select(F.col("tok").alias("cur"), F.col("cu").alias("cu_cur"))
+    thr = table_broadcast_threshold
+    scored = (
+        stream.join(gated_broadcast(tri, thr), ["prev2", "prev1", "cur"], "left")
+        .join(gated_broadcast(big, thr), ["prev1", "cur"], "left")
+        .join(gated_broadcast(big_ctx, thr), ["prev2", "prev1"], "left")
+        .join(gated_broadcast(uni_prev, thr), "prev1", "left")
+        .join(gated_broadcast(uni_cur, thr), "cur", "left")
+        .crossJoin(F.broadcast(tot))  # 1 row
+    )
+    a = float(backoff_alpha)
+    cu_eff = F.coalesce(F.col("cu_cur").cast("double"), F.lit(0.5))
+    lp = (
+        F.when(F.col("prev1").isNull(), F.log10(cu_eff / F.col("n")))
+        .when(
+            F.col("prev2").isNull(),
+            F.when(
+                F.col("cb").isNotNull(),
+                F.log10(F.col("cb") / F.col("cu_prev").cast("double")),
+            ).otherwise(F.log10(F.lit(a) * cu_eff / F.col("n"))),
+        )
+        .when(
+            F.col("ct").isNotNull(),
+            F.log10(F.col("ct") / F.col("cb_ctx").cast("double")),
+        )
+        .when(
+            F.col("cb").isNotNull(),
+            F.log10(F.lit(a) * F.col("cb") / F.col("cu_prev").cast("double")),
+        )
+        .otherwise(F.log10(F.lit(a) * F.lit(a) * cu_eff / F.col("n")))
+    )
+    lp6 = F.round(lp * 1_000_000, 0).cast("long")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum(lp6) / (F.count(F.lit(1)) * 1_000_000.0), 4).alias(
+            "trigram_lm_score"
+        ),
+    )
+
+
+def trigram_prune_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    prune_min_count: int = 2,
+) -> DataFrame:
+    """Observability for :func:`trigram_logprob_score`'s prune: one
+    row of (kept_types, dropped_types, kept_mass, dropped_mass) over
+    the fit corpus's trigram table at the given threshold — the same
+    no-silent-caps contract as ``lsh_cap_stats``. On a natural
+    corpus expect dropped_types ≫ kept_types (the Zipf tail) while
+    dropped_mass stays a small fraction: that asymmetry is the whole
+    case for pruning, and this query is how you check it holds on
+    YOUR corpus before trusting the pruned scorer. Two map-side-
+    combining aggregates; the result is a single row."""
+    m = int(prune_min_count)
+    tri = (
+        _context_stream(docs, text_col)
+        .filter(F.col("prev2").isNotNull())
+        .groupBy("prev2", "prev1", "cur")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    kept = F.col("ct") >= m
+    return tri.agg(
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("kept_types"),
+        F.sum(F.when(~kept, 1).otherwise(0)).cast("long").alias("dropped_types"),
+        F.sum(F.when(kept, F.col("ct")).otherwise(0)).cast("long").alias("kept_mass"),
+        F.sum(F.when(~kept, F.col("ct")).otherwise(0)).cast("long").alias("dropped_mass"),
+    )
+
+
 def bigram_logprob_score(
     docs: DataFrame,
     id_col: str = "doc_id",

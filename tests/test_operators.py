@@ -1019,3 +1019,38 @@ def test_image_phash_matches_reference_and_bruteforce(spark):
         for r in multimodal.phash_near_pairs(docs).collect()
     }
     assert got_pairs == want and want  # non-vacuous
+
+
+def test_trigram_logprob_score(spark):
+    """Hand-computed pruned stupid-backoff trigram LM. Fit corpus
+    "a b c a b c a b c" + "a b d": uni a:4 b:4 c:3 d:1 (N=12),
+    bigrams (a,b):4 (b,c):3 (c,a):2 (b,d):1, trigrams (a,b,c):3
+    (b,c,a):2 (c,a,b):2 kept, (a,b,d):1 PRUNED at min_count=2 — so
+    doc2's third position must take the alpha*bigram backoff even
+    though its trigram was observed at fit time."""
+    from kgflow.operators import quality
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.trigram_lm_score)
+        for r in quality.trigram_logprob_score(docs, prune_min_count=2).collect()
+    }
+    # doc1 lp6: -477121 (uni a), 0 (bigram a,b = 4/4), then trigrams
+    # (a,b,c)=3/4 -> -124939, (b,c,a)=2/3 -> -176091, (c,a,b)=2/2 -> 0
+    # repeating; sum -1204120 / 9e6 -> -0.1338
+    assert got[1] == (9, -0.1338)
+    # doc2: -477121, 0, then (a,b,d) pruned -> 0.4*c2(b,d)/c1(b) =
+    # 0.4/4 = 0.1 -> -1000000; sum -1477121 / 3e6 -> -0.4924
+    assert got[2] == (3, -0.4924)
+    # OOV + unseen-bigram floors: fit on docs, score "d a zzz":
+    # -1079181 (uni d), -875061 (0.4*4/12), -2176091 (0.16*0.5/12)
+    stream = spark.createDataFrame([(9, "d a zzz")], "doc_id long, text string")
+    (row,) = quality.trigram_logprob_score(stream, fit_docs=docs).collect()
+    assert (row.n_tokens, row.trigram_lm_score) == (3, -1.3768)
+    # prune observability on the same fit corpus
+    (st,) = quality.trigram_prune_stats(docs, prune_min_count=2).collect()
+    assert (st.kept_types, st.dropped_types, st.kept_mass, st.dropped_mass) == (
+        3, 1, 7, 1,
+    )

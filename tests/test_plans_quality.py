@@ -190,3 +190,24 @@ def test_bigram_lm_score_join_strategies(spark, entrymod):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_trigram_lm_score_join_strategies(spark, entrymod):
+    """The pruned-trigram/bigram/unigram fit tables must hash-broadcast
+    under the gate at this scale; the only nested-loop is the
+    deliberate 1-row total broadcast. (Above the gate the trigram
+    table — the web-scale one — falls back to a shuffle hash join;
+    that path is exercised by the operator's gated_broadcast tests.)"""
+    plan = _plan(entrymod.queries()["trigram_lm_score"](spark, SF))
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_trigram_prune_stats_two_aggregates(spark, entrymod):
+    """Prune stats is explode -> trigram count -> 1-row rollup: two
+    aggregate levels, map-side partial, no window, no join."""
+    plan = _plan(entrymod.queries()["trigram_prune_stats"](spark, SF))
+    assert "Window" not in plan
+    assert "Join" not in plan
