@@ -88,22 +88,45 @@ out["pack_shards"] = timed(lambda: packed.agg(
 ).collect())
 
 # stage 5b: dedup tier — MinHash signatures -> banded LSH pairing ->
-# integer-Jaccard verify, the full near-dup chain, over conversation
-# documents (turns concatenated in turn order: deterministic text, so
-# both core levels hash identical docs). Doc construction is
-# checkpointed OUTSIDE the timing; the stage measures the dedup chain
-# itself: shingle explode + 8 md5 minhashes, band-key shuffle,
-# in-bucket self-join, pair dedup, shingle-set verify join.
+# integer-Jaccard verify, the full near-dup chain. The corpus is a
+# DIVERSE synthetic one (40 md5-derived tokens per doc, one doc per
+# 20 input turns, ~3%% planted near-dups at Jaccard ~0.95): docs
+# built by concatenating lexicon-generated turns are pathologically
+# self-similar — every doc collides into every LSH bucket and the
+# in-bucket self-join explodes (measured: 130 GB of shuffle spill at
+# 400k conv-docs), which benchmarks the blow-up, not the operator.
+# Diverse text gives bucket occupancy ~1, the shape the LSH design
+# targets and the only one a real curation corpus presents at scale.
+# Construction is checkpointed OUTSIDE the timing at a FIXED 64-way
+# layout so both core levels hash identical bytes; the stage measures
+# the chain itself: shingle explode + 8 md5 minhashes, band-key
+# shuffle, in-bucket self-join, pair dedup, shingle-set verify join.
 from kgflow.operators import dedup
-docs8 = tr.groupBy("conv_id").agg(
-    F.array_join(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
-            lambda s: s["text"],
-        ),
-        " ",
-    ).alias("text")
-).select(F.col("conv_id").alias("doc_id"), "text").localCheckpoint(eager=True)
+n_docs = tr.count() // 20
+_seed = F.when(
+    (F.col("doc_id") %% 33 == 0) & (F.col("doc_id") > 0),
+    F.col("doc_id") - 1,
+).otherwise(F.col("doc_id")).cast("string")
+_toks = F.transform(
+    F.sequence(F.lit(1), F.lit(40)),
+    lambda i: F.substring(
+        F.md5(F.concat_ws("|", F.lit("sd"), _seed, i.cast("string"))), 1, 8
+    ),
+)
+_toks = F.when(
+    F.col("doc_id") %% 33 == 0,
+    F.concat(
+        F.slice(_toks, 1, 39),
+        F.array(F.concat(F.lit("dx"), F.col("doc_id").cast("string"))),
+    ),
+).otherwise(_toks)
+docs8 = (
+    spark.range(n_docs)
+    .select(F.col("id").alias("doc_id"))
+    .repartition(64)
+    .select("doc_id", F.array_join(_toks, " ").alias("text"))
+    .localCheckpoint(eager=True)
+)
 pairs8 = dedup.minhash_lsh_pairs(docs8)
 ver8 = dedup.jaccard_verify(docs8, pairs8)
 out["dedup_pairs"] = timed(lambda: ver8.agg(
