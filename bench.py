@@ -76,6 +76,10 @@ EXTRAS = [
     "image_resize",
     "video_frame_sample",
     "audio_frame_energy",
+    "trigram_lm_score",
+    "trigram_prune_stats",
+    "tfidf_top_terms",
+    "chunk_documents",
 ]
 
 _CACHE_ROOT = os.environ.get("KGFLOW_BENCH_CACHE", "/tmp/kgflow_bench")
