@@ -2932,10 +2932,36 @@ def q_trigram_prune_stats(spark, sf):
     )
 
 
+def q_tfidf_top_terms(spark, sf):
+    """Per-document top-5 TF-IDF keywords (extract.tfidf_top_terms):
+    integer idf6 = round(log10(N/df)*1e6) per TERM, exact integer
+    tf*idf6 scores, ties toward the smallest term — deterministic
+    across engines. The rank<=k filter compiles to a
+    WindowGroupLimit, so partitions keep at most k rows per doc
+    before the window shuffle."""
+    from kgflow.operators import extract
+
+    return extract.tfidf_top_terms(_t(spark, sf, "documents"), k=5)
+
+
+def q_chunk_documents(spark, sf):
+    """Sliding-window training chunks (sample.chunk_documents): 64-token
+    windows at stride 48 (overlap 16) — tokenize once, indexed
+    transform over stride-spaced starts, one explode. Zero shuffle,
+    zero UDF; the trailing chunk keeps its natural shorter length."""
+    from kgflow.operators import sample
+
+    return sample.chunk_documents(
+        _t(spark, sf, "documents"), chunk_tokens=64, stride=48
+    )
+
+
 _R6_QUERIES = {
     "data_prep_pipeline_dedup": q_data_prep_pipeline_dedup,
     "trigram_lm_score": q_trigram_lm_score,
     "trigram_prune_stats": q_trigram_prune_stats,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "chunk_documents": q_chunk_documents,
     "image_phash": q_image_phash,
     "image_phash_pairs": q_image_phash_pairs,
     "image_resize": q_image_resize,
@@ -3055,6 +3081,50 @@ def _r6_oracles() -> dict[str, str]:
                    round(SUM(lp6) / (COUNT(*) * 1000000.0), 4)
                      AS trigram_lm_score
             FROM sc GROUP BY doc_id""",
+        # per-doc top-5 TF-IDF terms: integer idf6 per term, exact
+        # integer tf*idf6 scores, ties toward the smallest term
+        "tfidf_top_terms": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+            ), tf AS (
+              SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM toks GROUP BY doc_id, tok
+            ), dft AS (
+              SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+            ), nd AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+            ), idf AS (
+              SELECT tok,
+                     CAST(round(log10(nd.n / df) * 1000000, 0) AS BIGINT)
+                       AS idf6
+              FROM dft CROSS JOIN nd
+            ), sc AS (
+              SELECT tf.doc_id, tf.tok, tf.tf,
+                     tf.tf * idf.idf6 AS score6,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * idf.idf6 DESC, tf.tok
+                     ) AS rank
+              FROM tf JOIN idf ON tf.tok = idf.tok
+            )
+            SELECT doc_id, CAST(rank AS INT) AS rank, tok, tf, score6
+            FROM sc WHERE rank <= 5""",
+        # 64-token sliding windows at stride 48: 1-based scalar list
+        # slicing over stride-spaced generate_series start positions
+        "chunk_documents": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ), st AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, len(t), 48)) AS s
+              FROM toks
+            )
+            SELECT doc_id,
+                   CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
+                   CAST(LEAST(len(t) - s + 1, 64) AS BIGINT)
+                     AS n_chunk_tokens,
+                   array_to_string(t[s : s + 63], ' ') AS chunk_text
+            FROM st""",
         # prune observability over the FULL corpus (no sample): types
         # and count mass kept vs dropped at min_count=2
         "trigram_prune_stats": f"""

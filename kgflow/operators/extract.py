@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 _MENTION_OUT = T.StructType(
     [
@@ -442,3 +443,52 @@ def hash_embedding(
             "embedded_at", F.timestamp_seconds(F.lit(float(stamp)))
         )
     return out
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_broadcast_threshold: int = 2_000_000,
+) -> DataFrame:
+    """Per-document top-k TF-IDF keywords — the classic salient-term
+    extractor (the declarative replacement for the reference's
+    driver-side keyword picks, ``readcube_publication_data_importer.py``
+    tag fields): score(doc, t) = tf(doc, t) · log10(N/df(t)), keep the
+    k highest-scoring terms per document.
+
+    Determinism across engines and partitionings: the idf is scaled to
+    an integer once per TERM (round(log10(N/df)·10⁶) as ``idf6``) and
+    the score is the exact integer product ``tf·idf6`` — no float
+    compare ever breaks a tie differently; residual score ties break
+    toward the lexicographically smallest term.
+
+    Scale shape: one (doc, term) count aggregate (map-side partial),
+    the document-frequency table derived from it by a second vocab-
+    sized aggregate, a 1-row corpus count broadcast, a size-gated join
+    of the df table back onto the (doc, term) counts, then the top-k
+    window — rank ≤ k is a WindowGroupLimit, so each partition keeps
+    at most k rows per document before the window shuffle."""
+    from .util import gated_broadcast
+    from ..functions import text as tx
+
+    toks = docs.select(F.col(id_col), F.explode(tx.tokens(text_col)).alias("tok"))
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    idf = dft.crossJoin(F.broadcast(n_docs)).select(
+        "tok",
+        F.round(F.log10(F.col("n") / F.col("df")) * 1_000_000, 0)
+        .cast("long")
+        .alias("idf6"),
+    )
+    scored = tf.join(gated_broadcast(idf, df_broadcast_threshold), "tok").select(
+        id_col, "tok", "tf", (F.col("tf") * F.col("idf6")).alias("score6")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score6"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(id_col, "rank", "tok", "tf", "score6")
+    )

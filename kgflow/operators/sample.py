@@ -277,3 +277,53 @@ def _mix_target(
             F.col(strat_col) == k, F.lit(token_budget * v / wsum)
         ).otherwise(tgt)
     return tgt
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-token training windows — the other
+    half of sequence prep next to :func:`pack_sequences` (packing
+    merges short docs up to the budget; chunking cuts long docs down
+    to it). ``stride < chunk_tokens`` yields overlapping sliding
+    windows (the standard LM eval / retrieval-indexing shape);
+    ``stride = chunk_tokens`` (the default) tiles the document.
+
+    Entirely in-row: tokenize once, build chunk structs with one
+    indexed ``transform`` over the stride-spaced start positions
+    (``F.sequence`` with step), one explode — zero shuffle, zero UDF,
+    the same narrow plan at any corpus size. The trailing chunk keeps
+    its natural shorter length (``n_chunk_tokens`` reports it;
+    filter on it downstream to drop stubs). Chunks inherit their
+    provenance via (id_col, chunk_idx) — stable, resumable keys.
+    """
+    c = int(chunk_tokens)
+    s = int(stride) if stride is not None else c
+    if c < 1 or s < 1:
+        raise ValueError("chunk_tokens and stride must be >= 1")
+    from ..functions import text as tx
+
+    base = docs.select(F.col(id_col), tx.tokens(text_col).alias("_t"))
+    starts = F.sequence(F.lit(0), F.size("_t") - 1, F.lit(s))
+    chunks = F.transform(
+        starts,
+        lambda st, i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.array_join(F.slice(F.col("_t"), st + 1, c), " ").alias(
+                "chunk_text"
+            ),
+            F.least(F.size("_t") - st, F.lit(c))
+            .cast("long")
+            .alias("n_chunk_tokens"),
+        ),
+    )
+    return base.select(F.col(id_col), F.explode(chunks).alias("ch")).select(
+        id_col,
+        F.col("ch.chunk_idx").alias("chunk_idx"),
+        F.col("ch.n_chunk_tokens").alias("n_chunk_tokens"),
+        F.col("ch.chunk_text").alias("chunk_text"),
+    )

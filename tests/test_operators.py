@@ -1054,3 +1054,57 @@ def test_trigram_logprob_score(spark):
     assert (st.kept_types, st.dropped_types, st.kept_mass, st.dropped_mass) == (
         3, 1, 7, 1,
     )
+
+
+def test_tfidf_top_terms(spark):
+    """Hand-computed TF-IDF: N=3, every term has df=2 so idf6=176091
+    everywhere; doc1's doubled "a" doubles its score; equal-score
+    ties break toward the smaller token."""
+    from kgflow.operators import extract
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "b c")], "doc_id long, text string"
+    )
+    rows = {
+        (r.doc_id, r.rank): (r.tok, r.tf, r.score6)
+        for r in extract.tfidf_top_terms(docs, k=2).collect()
+    }
+    assert rows == {
+        (1, 1): ("a", 2, 352182),
+        (1, 2): ("b", 1, 176091),
+        (2, 1): ("a", 1, 176091),  # tie with c -> smaller token first
+        (2, 2): ("c", 1, 176091),
+        (3, 1): ("b", 1, 176091),  # tie with c
+        (3, 2): ("c", 1, 176091),
+    }
+
+
+def test_chunk_documents(spark):
+    """Sliding windows: 10 tokens at chunk=4/stride=3 give starts
+    0,3,6,9 with a 1-token tail; a doc shorter than the chunk yields
+    one short chunk; default stride tiles exactly."""
+    from kgflow.operators import sample
+
+    docs = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2, "x y")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.chunk_idx): (r.n_chunk_tokens, r.chunk_text)
+        for r in sample.chunk_documents(docs, chunk_tokens=4, stride=3).collect()
+    }
+    assert got == {
+        (1, 0): (4, "t1 t2 t3 t4"),
+        (1, 1): (4, "t4 t5 t6 t7"),
+        (1, 2): (4, "t7 t8 t9 t10"),
+        (1, 3): (1, "t10"),
+        (2, 0): (2, "x y"),
+    }
+    tiled = {
+        (r.doc_id, r.chunk_idx): r.chunk_text
+        for r in sample.chunk_documents(
+            spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string"),
+            chunk_tokens=2,
+        ).collect()
+    }
+    assert tiled == {(9, 0): "a b", (9, 1): "c d", (9, 2): "e"}

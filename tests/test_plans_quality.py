@@ -211,3 +211,20 @@ def test_trigram_prune_stats_two_aggregates(spark, entrymod):
     plan = _plan(entrymod.queries()["trigram_prune_stats"](spark, SF))
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+def test_tfidf_topk_plan(spark, entrymod):
+    """TF-IDF: the df table broadcasts under the gate, the rank<=k
+    filter compiles to a WindowGroupLimit (partitions keep at most k
+    rows per doc before the window shuffle), and nothing sort-merges."""
+    plan = _plan(entrymod.queries()["tfidf_top_terms"](spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_chunk_documents_zero_shuffle(spark, entrymod):
+    """Chunking is tokenize -> indexed transform -> explode: one
+    narrow scan, no exchange of any kind."""
+    plan = _plan(entrymod.queries()["chunk_documents"](spark, SF))
+    assert "Exchange" not in plan
