@@ -2956,12 +2956,43 @@ def q_chunk_documents(spark, sf):
     )
 
 
+def q_dedup_delta(spark, sf):
+    """Batch-vs-store deduplication (dedup.dedup_delta): the store is
+    75% of the corpus distilled to fingerprint + 8 minhash components
+    (~300 B/doc, NO text retained); the delta batch mixes fresh docs,
+    re-keyed exact copies, and re-keyed near copies (one appended
+    token). Exact tier = fingerprint shuffle join; near tier = band
+    join against the store's signature bands + >=6/8 component
+    agreement. Nothing corpus-sized is broadcast or re-read as text —
+    the per-crawl-drop shape at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from kgflow.operators import dedup
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    store_docs = docs.filter(F.col("doc_id") % 4 != 0)
+    store = dedup.build_dedup_store(store_docs)
+    delta = (
+        store_docs.filter(F.col("doc_id") % 10 == 1)
+        .select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+        .unionByName(
+            store_docs.filter(F.col("doc_id") % 10 == 3).select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zqx")).alias("text"),
+            )
+        )
+        .unionByName(docs.filter(F.col("doc_id") % 4 == 0))
+    )
+    return dedup.dedup_delta(delta, store)
+
+
 _R6_QUERIES = {
     "data_prep_pipeline_dedup": q_data_prep_pipeline_dedup,
     "trigram_lm_score": q_trigram_lm_score,
     "trigram_prune_stats": q_trigram_prune_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "chunk_documents": q_chunk_documents,
+    "dedup_delta": q_dedup_delta,
     "image_phash": q_image_phash,
     "image_phash_pairs": q_image_phash_pairs,
     "image_resize": q_image_resize,
@@ -2996,6 +3027,96 @@ WITH dims AS (
 )"""
 
 
+def _delta_sig_cte(src: str, p: str, num_hashes: int = 8) -> str:
+    """toks/shingles/signature CTEs over source CTE ``src``, names
+    prefixed ``p`` — the minhash pipeline of _minhash_bands_cte
+    parameterized by input so the delta oracle can run it over both
+    the store and the survivor batch."""
+    sig_cols = ",\n    ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}' || '|' || s))) AS sig_{i}"
+        for i in range(num_hashes)
+    )
+    return f"""
+{p}toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM {src}
+),
+{p}sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t) - 2),
+                        i -> array_to_string(t[i:i+2], ' '))) AS shingles
+  FROM {p}toks WHERE len(t) >= 3
+),
+{p}sigs AS (
+  SELECT doc_id,
+    {sig_cols}
+  FROM {p}sh
+)"""
+
+
+def _delta_band_cte(sigs: str, name: str, band_size: int = 2, num_hashes: int = 8) -> str:
+    n_bands = num_hashes // band_size
+    selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        + " || '|' || ".join(f"sig_{b * band_size + j}" for j in range(band_size))
+        + f" AS band_key FROM {sigs}"
+        for b in range(n_bands)
+    )
+    return f"{name} AS (\n  {selects}\n)"
+
+
+_DEDUP_DELTA_SQL = f"""
+WITH store_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 != 0
+),
+delta AS (
+  SELECT doc_id + 200000 AS doc_id, text FROM store_docs WHERE doc_id % 10 = 1
+  UNION ALL
+  SELECT doc_id + 300000, text || ' zqx' FROM store_docs WHERE doc_id % 10 = 3
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+),
+sfp AS (SELECT doc_id, md5({_NORM}) AS fp FROM store_docs),
+dfp AS (SELECT doc_id, md5({_NORM}) AS fp FROM delta),
+exact AS (
+  SELECT d.doc_id, MIN(s.doc_id) AS exact_of
+  FROM dfp d JOIN sfp s ON d.fp = s.fp GROUP BY d.doc_id
+),
+surv AS (
+  SELECT dl.doc_id, dl.text FROM delta dl
+  LEFT JOIN exact e ON dl.doc_id = e.doc_id WHERE e.doc_id IS NULL
+),
+{_delta_sig_cte('store_docs', 's')},
+{_delta_sig_cte('surv', 'd')},
+{_delta_band_cte('ssigs', 'sbands')},
+scapped AS (
+  SELECT doc_id, band_id, band_key FROM sbands
+  QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_key) <= 500
+),
+{_delta_band_cte('dsigs', 'dbands')},
+cand AS (
+  SELECT DISTINCT d.doc_id, s.doc_id AS old_id
+  FROM dbands d JOIN scapped s
+    ON d.band_id = s.band_id AND d.band_key = s.band_key
+),
+near AS (
+  SELECT c.doc_id, MIN(c.old_id) AS near_of
+  FROM cand c
+  JOIN dsigs n ON c.doc_id = n.doc_id
+  JOIN ssigs o ON c.old_id = o.doc_id
+  WHERE ({' + '.join(f'CASE WHEN n.sig_{i} = o.sig_{i} THEN 1 ELSE 0 END' for i in range(8))}) >= 6
+  GROUP BY c.doc_id
+)
+SELECT dl.doc_id,
+  CASE WHEN e.exact_of IS NOT NULL THEN 'exact'
+       WHEN nr.near_of IS NOT NULL THEN 'near'
+       ELSE 'unique' END AS status,
+  COALESCE(e.exact_of, nr.near_of) AS dup_of
+FROM delta dl
+LEFT JOIN exact e ON dl.doc_id = e.doc_id
+LEFT JOIN near nr ON dl.doc_id = nr.doc_id"""
+
+
 # (prev2, prev1, cur) context stream via 1-based scalar indexing of
 # the token array over a generate_series of positions — positionally
 # identical to Spark's indexed-transform-then-explode stream
@@ -3018,6 +3139,7 @@ WITH toks AS (
 
 def _r6_oracles() -> dict[str, str]:
     return {
+        "dedup_delta": _DEDUP_DELTA_SQL,
         # stupid-backoff trigram LM, singleton trigrams pruned
         # (HAVING >= 2), fit on the 50% hash sample, scored on the
         # full corpus — chain: pruned trigram -> alpha*bigram ->

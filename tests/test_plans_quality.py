@@ -228,3 +228,13 @@ def test_chunk_documents_zero_shuffle(spark, entrymod):
     narrow scan, no exchange of any kind."""
     plan = _plan(entrymod.queries()["chunk_documents"](spark, SF))
     assert "Exchange" not in plan
+
+
+def test_dedup_delta_plan(spark, entrymod):
+    """Delta dedup must stay a pure join/aggregate plan: no cartesian
+    product anywhere, and no forced broadcast of the store (at this
+    scale AQE may choose broadcasts on its own — the guard is that
+    nothing multiplies rows without a key)."""
+    plan = _plan(entrymod.queries()["dedup_delta"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
