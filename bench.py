@@ -80,6 +80,7 @@ EXTRAS = [
     "trigram_prune_stats",
     "tfidf_top_terms",
     "chunk_documents",
+    "dedup_delta",
 ]
 
 _CACHE_ROOT = os.environ.get("KGFLOW_BENCH_CACHE", "/tmp/kgflow_bench")
