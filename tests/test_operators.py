@@ -1160,3 +1160,31 @@ def test_dedup_delta(spark):
     assert got[14] == ("unique", None)
     # the test is only meaningful if the near tier actually fired
     assert got[11][0] == "near", f"agreement {m11}/8 — adjust fixture"
+
+
+def test_dedup_delta_store_maintenance(spark):
+    """The maintained-store loop: after appending batch 1's unique
+    survivors' store rows, batch 2 copies of those docs are caught as
+    exact dups OF THE BATCH-1 IDS — dedup state accumulates across
+    drops without ever rescanning text."""
+    from kgflow.operators import dedup
+
+    store = dedup.build_dedup_store(
+        spark.createDataFrame([(1, "aa bb cc dd ee")], "doc_id long, text string")
+    )
+    batch1 = spark.createDataFrame(
+        [(20, "pp qq rr ss tt"), (21, "aa bb cc dd ee")],
+        "doc_id long, text string",
+    )
+    r1 = {r.doc_id: r.status for r in dedup.dedup_delta(batch1, store).collect()}
+    assert r1 == {20: "unique", 21: "exact"}
+    survivors = batch1.join(
+        dedup.dedup_delta(batch1, store).filter("status = 'unique'").select("doc_id"),
+        "doc_id",
+    )
+    store2 = store.unionByName(dedup.build_dedup_store(survivors))
+    batch2 = spark.createDataFrame(
+        [(30, "pp qq rr ss tt")], "doc_id long, text string"
+    )
+    (r2,) = dedup.dedup_delta(batch2, store2).collect()
+    assert (r2.status, r2.dup_of) == ("exact", 20)
