@@ -2986,8 +2986,48 @@ def q_dedup_delta(spark, sf):
     return dedup.dedup_delta(delta, store)
 
 
+def q_quality_curriculum_sample(spark, sf):
+    """Quality-bucketed curriculum sampling: unigram LM score → exact
+    quartile thresholds via ONE 1-row percentile aggregate (broadcast
+    back — no global sort/ntile, which would single-partition the
+    corpus at scale) → per-bucket deterministic hash rates (keep 10%
+    of the worst quartile, 50%, 90%, 100% of the best). The same
+    md5-threshold membership as every other sampler, so curriculum
+    and mixture decisions can never desynchronize."""
+    from pyspark.sql import functions as F
+
+    from kgflow.operators import quality
+    from kgflow.operators.sample import _HASH_SPACE, _hash32
+
+    scores = quality.unigram_logprob_score(_t(spark, sf, "documents"))
+    qs = scores.agg(
+        F.round(F.expr("percentile(lm_score, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(lm_score, 0.5)"), 6).alias("q2"),
+        F.round(F.expr("percentile(lm_score, 0.75)"), 6).alias("q3"),
+    )
+    b = scores.crossJoin(F.broadcast(qs)).select(
+        "doc_id",
+        "lm_score",
+        F.when(F.col("lm_score") <= F.col("q1"), 1)
+        .when(F.col("lm_score") <= F.col("q2"), 2)
+        .when(F.col("lm_score") <= F.col("q3"), 3)
+        .otherwise(4)
+        .alias("bucket"),
+    )
+    rate = (
+        F.when(F.col("bucket") == 1, F.lit(0.1))
+        .when(F.col("bucket") == 2, F.lit(0.5))
+        .when(F.col("bucket") == 3, F.lit(0.9))
+        .otherwise(F.lit(1.0))
+    )
+    return b.filter(
+        _hash32(F.col("doc_id"), "kgflow") < rate * F.lit(float(_HASH_SPACE))
+    ).select("doc_id", "bucket", "lm_score")
+
+
 _R6_QUERIES = {
     "data_prep_pipeline_dedup": q_data_prep_pipeline_dedup,
+    "quality_curriculum_sample": q_quality_curriculum_sample,
     "trigram_lm_score": q_trigram_lm_score,
     "trigram_prune_stats": q_trigram_prune_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -3140,6 +3180,49 @@ WITH toks AS (
 def _r6_oracles() -> dict[str, str]:
     return {
         "dedup_delta": _DEDUP_DELTA_SQL,
+        # curriculum sampling: exact quantile_cont thresholds (same
+        # continuous-interpolation definition as Spark percentile,
+        # both rounded to 6 before comparing), per-bucket md5 rates
+        "quality_curriculum_sample": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+            ), freq AS (
+              SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+              FROM toks GROUP BY tok
+            ), tot AS (
+              SELECT CAST(SUM(c) AS DOUBLE) AS n FROM freq
+            ), lp AS (
+              SELECT tok,
+                CAST(round(log10(c / n) * 1000000, 0) AS BIGINT) AS lp6
+              FROM freq, tot
+            ), sc AS (
+              SELECT t.doc_id, lp6 FROM toks t JOIN lp USING (tok)
+            ), scores AS (
+              SELECT doc_id,
+                     round(SUM(lp6) / (COUNT(*) * 1000000.0), 4) AS lm_score
+              FROM sc GROUP BY doc_id
+            ), qs AS (
+              SELECT round(quantile_cont(lm_score, 0.25), 6) AS q1,
+                     round(quantile_cont(lm_score, 0.5), 6) AS q2,
+                     round(quantile_cont(lm_score, 0.75), 6) AS q3
+              FROM scores
+            ), b AS (
+              SELECT doc_id, lm_score,
+                CASE WHEN lm_score <= q1 THEN 1
+                     WHEN lm_score <= q2 THEN 2
+                     WHEN lm_score <= q3 THEN 3
+                     ELSE 4 END AS bucket
+              FROM scores CROSS JOIN qs
+            )
+            SELECT doc_id, CAST(bucket AS INT) AS bucket, lm_score
+            FROM b
+            WHERE CAST(('0x' || substr(md5('kgflow|' || doc_id), 1, 8))
+                       AS BIGINT)
+                < CASE bucket WHEN 1 THEN CAST(0.1 AS DOUBLE)
+                              WHEN 2 THEN CAST(0.5 AS DOUBLE)
+                              WHEN 3 THEN CAST(0.9 AS DOUBLE)
+                              ELSE CAST(1.0 AS DOUBLE) END
+                  * 4294967296""",
         # stupid-backoff trigram LM, singleton trigrams pruned
         # (HAVING >= 2), fit on the 50% hash sample, scored on the
         # full corpus — chain: pruned trigram -> alpha*bigram ->

@@ -81,6 +81,7 @@ EXTRAS = [
     "tfidf_top_terms",
     "chunk_documents",
     "dedup_delta",
+    "quality_curriculum_sample",
 ]
 
 _CACHE_ROOT = os.environ.get("KGFLOW_BENCH_CACHE", "/tmp/kgflow_bench")

@@ -238,3 +238,12 @@ def test_dedup_delta_plan(spark, entrymod):
     plan = _plan(entrymod.queries()["dedup_delta"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_curriculum_sample_no_global_sort(spark, entrymod):
+    """Curriculum bucketing must come from the 1-row percentile
+    aggregate broadcast back — NOT a global ntile window, which would
+    single-partition the corpus. No Window, no rate limit on rows."""
+    plan = _plan(entrymod.queries()["quality_curriculum_sample"](spark, SF))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
