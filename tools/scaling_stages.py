@@ -145,10 +145,17 @@ spark.stop()
 def run_level(cores: int, path: str) -> dict:
     env = dict(os.environ)
     env["PYSPARK_PYTHON"] = "/root/.pyenv/shims/python3"
+    # one shared JVM heap serves all N task threads in local mode; size
+    # it for the high level and give BOTH levels the same heap (a real
+    # 16-core executor carries proportional memory — 2-8 GB/core)
+    env.setdefault("KGFLOW_DRIVER_MEM", "24g")
     out = subprocess.run(
         ["/root/.pyenv/shims/python3", "-c", _CHILD % {"repo": REPO}, str(cores), path],
-        capture_output=True, text=True, env=env, check=True,
+        capture_output=True, text=True, env=env,
     )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:] + "\n")
+        raise SystemExit(f"level {cores} failed rc={out.returncode}")
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
