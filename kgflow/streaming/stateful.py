@@ -112,3 +112,102 @@ def stateful_next_turn(
     return spark.read.parquet(os.path.join(out_dir, "next_turn")).dropDuplicates(
         ["subj", "pred", "obj"]
     )
+
+
+_DEDUP_OUT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("dup_of", T.LongType(), True),
+    ]
+)
+
+#: first-seen canonical owner of this fingerprint
+_DEDUP_STATE = T.StructType([T.StructField("owner", T.LongType(), True)])
+
+
+def _dedup_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (owner,) = state.get if state.exists else (None,)
+    ids: list[int] = []
+    for pdf in pdfs:
+        ids.extend(int(x) for x in pdf["doc_id"])
+    ids.sort()
+    rows: list[tuple[int, str, Any]] = []
+    for i in ids:
+        if owner is None:
+            owner = i
+            rows.append((i, "unique", None))
+        elif i == owner:
+            continue  # replay of the canonical row — idempotent skip
+        else:
+            rows.append((i, "exact", owner))
+    state.update((owner,))
+    if rows:
+        yield pd.DataFrame(rows, columns=["doc_id", "status", "dup_of"])
+
+
+def streaming_exact_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Cross-batch exact-tier delta dedup: the streaming twin of
+    ``dedup.dedup_delta``'s fingerprint tier, with the maintained
+    store living IN keyed stream state instead of a table. Each
+    micro-batch's documents group by md5 fingerprint (computed
+    JVM-side before the stateful step); per-fingerprint state
+    remembers the FIRST-SEEN canonical doc id, so a document that
+    duplicates any earlier drop — not just this one — is emitted as
+    (doc_id, 'exact', dup_of=first owner), and first occurrences as
+    (doc_id, 'unique', NULL). Exactly-once effect on replays: a
+    re-delivered canonical row is skipped, and re-delivered dup rows
+    re-emit the same verdict.
+
+    Exact tier only, by design: the near tier's band join needs a
+    secondary index across keys, which keyed stream state cannot
+    express — run the batch ``dedup_delta`` against the store for
+    near-dup sweeps. State size: one long per distinct fingerprint,
+    hash-partitioned across executors by the state store — the same
+    ~O(corpus distinct texts) the batch store pays, with no text
+    retained."""
+    from ..functions import text as tx
+
+    src = spark.readStream
+    if schema is None:
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), True),
+                T.StructField("text", T.StringType(), True),
+            ]
+        )
+    stream = (
+        src.schema(schema).option("maxFilesPerTrigger", "64").parquet(input_dir)
+    )
+    verdicts = (
+        stream.select("doc_id", tx.fingerprint("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .applyInPandasWithState(
+            _dedup_fn,
+            outputStructType=_DEDUP_OUT,
+            stateStructType=_DEDUP_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        verdicts.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(out_dir, "dedup_verdicts"))
+        .option(
+            "checkpointLocation", os.path.join(out_dir, "_dedup_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(
+        os.path.join(out_dir, "dedup_verdicts")
+    ).dropDuplicates(["doc_id"])

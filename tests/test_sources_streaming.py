@@ -465,3 +465,44 @@ def test_source_mix_from_doc_stats(spark, tmp_path):
     assert files and all("mix_docs_in" in f for f in files)
     plan = fresh._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan  # the stats-measured rate table
+
+
+def test_streaming_exact_dedup_across_drops(spark, tmp_path):
+    """Cross-batch fingerprint dedup: a drop-2 copy of a drop-1 doc is
+    caught as an exact dup OF THE DROP-1 CANONICAL ID (the state IS
+    the store); whitespace/case variants share a fingerprint; a
+    re-delivered canonical row does not re-emit or steal ownership."""
+    from kgflow.streaming import stateful
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    docs([(1, "aa bb cc"), (2, "dd ee ff"), (3, "aa  BB cc")]).write.mode(
+        "append"
+    ).parquet(in_dir)
+    r1 = {
+        r.doc_id: (r.status, r.dup_of)
+        for r in stateful.streaming_exact_dedup(spark, in_dir, out_dir).collect()
+    }
+    assert r1 == {
+        1: ("unique", None),
+        2: ("unique", None),
+        3: ("exact", 1),
+    }
+    # drop 2: new doc, a copy of drop-1's doc 2, and doc 1 re-delivered
+    docs([(10, "gg hh ii"), (11, "dd ee ff"), (1, "aa bb cc")]).write.mode(
+        "append"
+    ).parquet(in_dir)
+    r2 = {
+        r.doc_id: (r.status, r.dup_of)
+        for r in stateful.streaming_exact_dedup(spark, in_dir, out_dir).collect()
+    }
+    assert r2 == {
+        1: ("unique", None),
+        2: ("unique", None),
+        3: ("exact", 1),
+        10: ("unique", None),
+        11: ("exact", 2),
+    }
