@@ -34,6 +34,28 @@ def tokens(col: Column | str) -> Column:
     return F.split(F.lower(F.trim(c)), r"\s+")
 
 
+# Java-regex \s is ASCII-only: [ \t\n\x0B\f\r]. A bare Python \s would
+# additionally split on unicode whitespace (\xa0,  , ...) and
+# silently diverge from the JVM tokenization.
+_JAVA_WS = __import__("re").compile(r"[ \t\n\x0b\f\r]+")
+
+
+def py_tokens(text: str | None) -> list[str] | None:
+    """Exact Python twin of :func:`tokens` — for Arrow-batched operators
+    that tokenize inside the Python worker. Verified equivalences:
+
+    * Spark ``trim`` strips ASCII space (0x20) ONLY → ``strip(" ")``;
+    * ``lower`` matches Python ``str.lower()`` (simple full case map);
+    * ``split(s, "\\s+")`` uses Java's ASCII-only ``\\s`` with limit -1,
+      KEEPING leading/trailing empty tokens ("\\ta b\\t" →
+      ['', 'a', 'b', '']; "" → ['']) — Python ``re.split`` on the
+      explicit ASCII class reproduces all of it.
+    """
+    if text is None:
+        return None
+    return _JAVA_WS.split(text.strip(" ").lower())
+
+
 def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 

@@ -55,29 +55,67 @@ def minhash_signatures(
 
     md5-hex strings compare lexicographically, which is a valid uniform
     min-hash family and is portable across engines.
+
+    Shape: repartition the RAW docs (small rows — the exchange carries
+    text once, not the ~3× larger shingle arrays the earlier
+    formulation shuffled; small parquet inputs arrive as one split and
+    this op is CPU-bound, so spread it — guide §2.3), then ONE
+    Arrow-batched pass tokenizes, shingles, and min-hashes each doc.
+    The per-shingle K md5 digests are cached per worker process, so a
+    boilerplate shingle repeated across thousands of docs is hashed
+    once (the JVM expression form re-hashed it every time — K
+    interpreted md5+concat lambdas per shingle occurrence). hex-string
+    min in Python is byte-lexicographic, identical to the JVM/DuckDB
+    string compare on lowercase hex.
     """
+    import pandas as pd
+
     spark = docs.sparkSession
-    sh = (
-        docs.select(F.col(id_col), tx.word_shingles(text_col, shingle_n).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        # Exchange barrier, deliberately: (a) CollapseProject would
-        # otherwise inline the whole shingle expression into each of the
-        # K signature expressions (re-tokenizing the text K times per
-        # row — measured 50× slower); (b) small parquet inputs arrive as
-        # one split, and this op is CPU-bound, so spread it.
-        .repartition(spark.sparkContext.defaultParallelism)
+    id_t = docs.schema[id_col].dataType.simpleString()
+    k = int(num_hashes)
+    n = int(shingle_n)
+
+    def run(batches):
+        import hashlib
+
+        cache: dict[str, tuple] = {}
+        prefixes = [f"{i}|".encode("utf-8") for i in range(k)]
+
+        def digests(sh: str) -> tuple:
+            d = cache.get(sh)
+            if d is None:
+                raw = sh.encode("utf-8")
+                d = tuple(
+                    hashlib.md5(p + raw).hexdigest() for p in prefixes
+                )
+                cache[sh] = d
+            return d
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = tx.py_tokens(text)
+                if toks is None or len(toks) < n:
+                    continue  # parity: word_shingles → [] → filtered
+                shingles = {
+                    " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+                }
+                sigs = [digests(s) for s in shingles]
+                rows.append(
+                    (did, *[min(d[i] for d in sigs) for i in range(k)])
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, *[f"sig_{i}" for i in range(k)]]
+            )
+
+    schema = ", ".join(
+        [f"{id_col} {id_t}", *[f"sig_{i} string" for i in range(k)]]
     )
-
-    def sig(i: int):
-        # NB: the lambda must be unary — F.transform passes the element
-        # INDEX as a second arg to binary lambdas, which would silently
-        # replace a `i=i` default-bound hash index.
-        prefix = f"{i}|"
-        return F.array_min(
-            F.transform("shingles", lambda s: F.md5(F.concat(F.lit(prefix), s)))
-        ).alias(f"sig_{i}")
-
-    return sh.select(F.col(id_col), *[sig(i) for i in range(num_hashes)])
+    return (
+        docs.select(id_col, text_col)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(run, schema=schema)
+    )
 
 
 def _minhash_bands(
@@ -250,9 +288,16 @@ def jaccard_verify(
     inter/union.
     """
     spark = docs.sparkSession
-    sh = docs.select(
-        F.col(id_col).alias("_id"), tx.word_shingles(text_col, shingle_n).alias("_sh")
-    ).repartition(spark.sparkContext.defaultParallelism)
+    # repartition BEFORE the shingle projection: the exchange then
+    # carries raw text (not the ~3× larger shingle arrays) and the
+    # CPU-heavy shingling runs at full parallelism rather than inside
+    # the single-split parquet scan task (guide §2.3 — shuffle fewer
+    # bytes; the earlier order shuffled post-shingle rows)
+    sh = (
+        docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_tx"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("_id", tx.word_shingles("_tx", shingle_n).alias("_sh"))
+    )
     a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     return (
@@ -267,54 +312,100 @@ def jaccard_verify(
     )
 
 
+def _simhash_map(docs: DataFrame, id_col: str, text_col: str, bits: int) -> DataFrame:
+    """Shared Arrow-batched SimHash kernel (16- or 64-bit).
+
+    Same values as the original in-row JVM formulation — bit sums are
+    exact commutative integer arithmetic over the DISTINCT token set,
+    so token order is irrelevant and the Python twin is provably
+    equivalent given tokenization parity (``tx.py_tokens``) and md5
+    parity (hashlib == Spark md5 == DuckDB md5 on UTF-8 bytes).
+
+    Why Python: the JVM version evaluated ``bits``·|tokens| interpreted
+    higher-order-function lambdas per document (~23 s for 50k docs at
+    64 bits, single scan task); here each distinct token costs one dict
+    hit (md5 masks are cached per worker — Zipf vocabularies hit the
+    cache almost always) and each document one small vectorized
+    reduction (guide §4.2: batch native code beats row-at-a-time JVM
+    expressions). Zero shuffle, zero row amplification, narrow map.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_t = docs.schema[id_col].dataType.simpleString()
+    nbits = int(bits)
+
+    def run(batches):
+        import hashlib
+
+        cache: dict[str, object] = {}
+        pow_ = 1 << np.arange(nbits, dtype=np.uint64)
+
+        def mask(tok: str):
+            b = cache.get(tok)
+            if b is None:
+                d = hashlib.md5(tok.encode("utf-8")).digest()
+                byts = np.frombuffer(d, dtype=np.uint8)
+                nib = np.empty(32, dtype=np.uint8)
+                nib[0::2] = byts >> 4
+                nib[1::2] = byts & 15
+                if nbits == 16:
+                    # bit p (0-based) = high bit of nibble p
+                    b = ((nib[:16] >> 3) & 1).astype(np.int32)
+                else:
+                    # bit 2j   (0-based, even) = high bit of nibble j
+                    # bit 2j+1 (0-based, odd)  = second bit of nibble j
+                    b = np.empty(64, dtype=np.int32)
+                    b[0::2] = (nib >> 3) & 1
+                    b[1::2] = (nib >> 2) & 1
+                cache[tok] = b
+            return b
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = tx.py_tokens(text)
+                if toks is None:  # null text: F.size(null) filter drops it
+                    continue
+                st = set(toks)
+                t_n = len(st)
+                acc = np.zeros(nbits, dtype=np.int32)
+                for t in st:
+                    acc += mask(t)
+                # sum_i = 2·(count of set bits) − T;  bit set iff > 0
+                sig_bits = (2 * acc - t_n) > 0
+                v = int((sig_bits.astype(np.uint64) * pow_).sum())
+                if nbits == 64 and v >= 1 << 63:
+                    v -= 1 << 64  # two's-complement signed long
+                ids.append(did)
+                sigs.append(v)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="object"),
+                    "simhash": pd.Series(sigs, dtype="int64"),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} {id_t}, simhash long"
+    )
+
+
 def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """16-bit SimHash per document, fully JVM-side and fully in-row.
+    """16-bit SimHash per document — a single narrow map, zero shuffle.
 
     bit_i = sign of Σ_tokens (±1), where the ±1 for token t at position
     i is the high bit of the i-th nibble of md5(t). Portable: the same
-    arithmetic runs in the DuckDB oracle.
-
-    Scale shape: a single narrow map — one ``F.aggregate`` pass over the
-    distinct-token hash array carries all 16 bit-sums in an array
-    accumulator, so there is **zero shuffle and zero row amplification**
-    (the earlier explode(sequence(1,16)) formulation multiplied every
-    token row 16× and paid two groupBy shuffles for the same numbers).
+    arithmetic runs in the DuckDB oracle. Docs with no tokens are
+    excluded (parity with the original exploded formulation).
     """
-    hashes = F.transform(F.array_distinct(tx.tokens(text_col)), lambda t: F.md5(t))
-    # accumulator = 16 running bit-sums; per hash, zip the accumulator
-    # with nibble positions 1..16 and add ±1 (nibble high bit: ≥ 8)
-    sums = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0), 16),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.sequence(F.lit(1), F.lit(16)),
-            lambda a, i: a
-            + F.when(F.conv(h.substr(i, F.lit(1)), 16, 10).cast("int") >= 8, F.lit(1))
-            .otherwise(F.lit(-1)),
-        ),
-    )
-    powers = F.array(*[F.lit(1 << i) for i in range(16)])
-    simhash = F.aggregate(
-        F.zip_with(sums, powers, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0))),
-        F.lit(0).cast("long"),
-        lambda a, v: a + v,
-    )
-    # docs with no tokens are excluded (parity with the exploded
-    # formulation, where such docs produced no rows)
-    return (
-        docs.filter(F.size(tx.tokens(text_col)) > 0)
-        .select(F.col(id_col), simhash.alias("simhash"))
-    )
+    return _simhash_map(docs, id_col, text_col, 16)
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash — the corpus-scale signature width. Same zero-
-    shuffle in-row shape as ``simhash16``, but 2¹⁶ signature values
-    cannot separate 10⁸⁺ documents (every pigeonhole band bucket would
-    hold ~10⁶ docs, so the hot-bucket cap would drop them ALL and the
-    near-pair tier would silently return nothing); 2⁶⁴ keeps bucket
-    occupancy near one at any realistic corpus size.
+    """64-bit SimHash — the corpus-scale signature width (2¹⁶ signature
+    values cannot separate 10⁸⁺ documents; 2⁶⁴ keeps band-bucket
+    occupancy near one at any realistic corpus size).
 
     Bit mapping (portable — the DuckDB oracle reproduces it exactly):
     md5(token) has 32 hex nibbles; bit i (1-based, 1..64) reads nibble
@@ -326,47 +417,7 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     arithmetic shift, which is sign-safe, and xor/bit_count are
     bit-pattern ops, so nothing downstream cares about the sign.
     """
-    hashes = F.transform(F.array_distinct(tx.tokens(text_col)), lambda t: F.md5(t))
-    # nibble values computed ONCE per hash (32 ints), not once per bit
-    nibbles = F.transform(
-        hashes,
-        lambda h: F.transform(
-            F.sequence(F.lit(1), F.lit(32)),
-            lambda p: F.conv(h.substr(p, F.lit(1)), 16, 10).cast("int"),
-        ),
-    )
-    sums = F.aggregate(
-        nibbles,
-        F.array_repeat(F.lit(0), 64),
-        lambda acc, nv: F.zip_with(
-            acc,
-            F.sequence(F.lit(1), F.lit(64)),
-            lambda a, i: a
-            + F.when(
-                F.when(
-                    i % 2 == 1,
-                    F.element_at(nv, F.floor((i + 1) / 2).cast("int")) >= 8,
-                ).otherwise(
-                    F.element_at(nv, F.floor((i + 1) / 2).cast("int")) % 8 >= 4
-                ),
-                F.lit(1),
-            ).otherwise(F.lit(-1)),
-        ),
-    )
-    weights = F.array(
-        *[F.lit(1 << i) for i in range(63)], F.lit(-(1 << 63))
-    )
-    simhash = F.aggregate(
-        F.zip_with(
-            sums, weights, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long"))
-        ),
-        F.lit(0).cast("long"),
-        lambda a, v: a + v,
-    )
-    return (
-        docs.filter(F.size(tx.tokens(text_col)) > 0)
-        .select(F.col(id_col), simhash.alias("simhash"))
-    )
+    return _simhash_map(docs, id_col, text_col, 64)
 
 
 def signature_bands(
@@ -574,6 +625,32 @@ def dedup_clusters(
     return out.withColumn("is_rep", F.col("cluster_rep") == F.col(id_col))
 
 
+def _round_half_up_4(x: "object"):
+    """Vectorized replica of Spark's ``round(double, 4)``: BigDecimal
+    HALF_UP on the shortest decimal representation. The fast path works
+    on the binary value (floor(|x|·10⁴ + 0.5), away from zero); values
+    whose scaled form sits within 1e-6 of a .5 boundary — where
+    binary-value rounding can disagree with decimal-string rounding —
+    take the exact ``Decimal(repr(x))`` path, which matches
+    ``BigDecimal.valueOf(double).setScale(4, HALF_UP)`` digit-for-digit
+    (both operate on the shortest round-trip decimal form)."""
+    import numpy as np
+
+    s = x * 1e4
+    near_half = np.abs(s - np.floor(s) - 0.5) < 1e-6
+    out = np.sign(s) * np.floor(np.abs(s) + 0.5) / 1e4
+    if near_half.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.0001")
+        idx = np.nonzero(near_half)[0]
+        for i in idx:
+            out[i] = float(
+                Decimal(repr(float(x[i]))).quantize(q, rounding=ROUND_HALF_UP)
+            )
+    return out
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -587,12 +664,24 @@ def embedding_near_duplicates(
 
     Scale shape (mirrors the MinHash→Jaccard tier): every vector hashes
     to a sign-LSH bucket (narrow map), candidate pairs form only inside
-    a bucket via an **equi join on the bucket key** (one shuffle on a
-    short string — no BroadcastNestedLoopJoin / cartesian over the
-    corpus), then the exact cosine verifies each candidate. Approximate
-    by construction: pairs in different buckets are never compared
+    a bucket — grouped by the bucket key (one shuffle on a short
+    string; no BroadcastNestedLoopJoin / cartesian over the corpus) —
+    then the exact cosine verifies each candidate. Approximate by
+    construction: pairs in different buckets are never compared
     (recall rises with fewer planes / multiple tables; see
     ``embedding_near_duplicates_exact`` for the all-pairs verifier).
+
+    Within-bucket scoring runs as ONE Arrow-batched ``applyInPandas``
+    per bucket instead of a bucket-key self-join + per-pair interpreted
+    JVM array folds: the earlier formulation shuffled every vector
+    twice and evaluated three O(dim) ``F.aggregate`` lambdas per
+    candidate pair (measured 277 s at sf1.0); here the pair loop is
+    numpy over the bucket's vector block, chunked so the pair-product
+    matrix stays bounded. Bit-for-bit equivalence with the JVM
+    formulation is preserved deliberately: dot products and norms fold
+    left-to-right in float64 (``np.cumsum`` — sequential by
+    definition, unlike pairwise ``np.sum``/``np.dot``) and the 4-dp
+    rounding replicates BigDecimal HALF_UP via :func:`_round_half_up_4`.
 
     ``dim`` defaults to the first row's vector size; a row whose vector
     size differs from ``dim`` raises at runtime — ``zip_with`` would
@@ -624,17 +713,57 @@ def embedding_near_duplicates(
         )
         .alias("_bkt"),
     )
-    a = bucketed.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("v_a"), "_bkt"
+
+    import numpy as np
+    import pandas as pd
+
+    id_t = embeddings.schema[id_col].dataType.simpleString()
+    thr = float(threshold)
+    pair_chunk = 1 << 16  # bounds the (chunk, dim) product matrix
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"cosine": "float64"}
+            )
+        ids = pdf["_id"].to_numpy()
+        v = np.asarray(list(pdf["_v"]), dtype=np.float64)
+        # left-to-right float64 norm fold, exactly the JVM aggregate
+        nrm = np.sqrt(np.cumsum(v * v, axis=1)[:, -1])
+        iu, ju = np.triu_indices(n, k=1)
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, len(iu), pair_chunk):
+            ii, jj = iu[s : s + pair_chunk], ju[s : s + pair_chunk]
+            dot = np.cumsum(v[ii] * v[jj], axis=1)[:, -1]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                # zero-norm rows yield NaN, exactly like the JVM 0/0;
+                # NaN fails every >= comparison and is dropped below
+                cos = _round_half_up_4(dot / (nrm[ii] * nrm[jj]))
+            # strict id inequality mirrors the join filter id_a < id_b
+            # (duplicate-id inputs must not emit self-pairs)
+            keep = (cos >= thr) & (ids[ii] != ids[jj])
+            if keep.any():
+                ia, ib = ids[ii[keep]], ids[jj[keep]]
+                swap = ia > ib
+                out_a.append(np.where(swap, ib, ia))
+                out_b.append(np.where(swap, ia, ib))
+                out_c.append(cos[keep])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"cosine": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return bucketed.groupBy("_bkt").applyInPandas(
+        score_bucket, schema=f"id_a {id_t}, id_b {id_t}, cosine double"
     )
-    b = bucketed.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("v_b"), "_bkt"
-    )
-    pairs = a.join(b, "_bkt").filter(F.col("id_a") < F.col("id_b"))
-    scored = pairs.select(
-        "id_a", "id_b", F.round(vector.cosine("v_a", "v_b"), 4).alias("cosine")
-    )
-    return scored.filter(F.col("cosine") >= threshold)
 
 
 def embedding_near_duplicates_exact(
