@@ -36,46 +36,75 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def star_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(subj, pred, obj) edge families from the relational star schema —
-    the testdata analogue of the citation-graph build
-    (neo4j_citation_relationship_builder.py:107-163): FK → edge, MERGE →
-    dropDuplicates."""
+# (s_pre, pred, o_pre) per edge family — the family id is a BIJECTION
+# onto this triple, so dedup on (fam, s_key, o_key) equals dedup on the
+# full 5-tuple while the exchange carries 1+8+8 bytes/row instead of
+# three materialized literal strings (guide §2.3: narrower types,
+# project before the exchange).
+_STAR_FAMS: list[tuple[str, str, str]] = [
+    ("cust", "PLACED", "order"),
+    ("order", "CONTAINS", "part"),
+    ("order", "SUPPLIED_BY", "supplier"),
+    ("cust", "LOCATED_IN", "nation"),
+    ("supplier", "LOCATED_IN", "nation"),
+    ("nation", "PART_OF", "region"),
+]
+
+
+def _fam_case(which: int):
+    """fam tinyint → its s_pre / pred / o_pre string (literal decode)."""
+    c = F.lit(_STAR_FAMS[0][which])
+    expr = F.when(F.col("fam") == 0, c)
+    for i in range(1, len(_STAR_FAMS)):
+        expr = expr.when(F.col("fam") == i, F.lit(_STAR_FAMS[i][which]))
+    return expr
+
+
+def _star_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduped (fam tinyint, s_key long, o_key long) — the compact-key
+    core of the star KG. Shuffle COMPACT KEYS, build URI strings only
+    after the exchange: the testdata files are single-row-group
+    parquet, so each scan is one task no matter what maxPartitionBytes
+    says — keeping the pre-shuffle side to a tinyint + two longs moves
+    the string concat onto the post-shuffle side (full parallelism) and
+    shrinks the exchange from ~40-byte literal-string rows to 17-byte
+    keys. Dedup on (fam, s_key, o_key) equals dedup on the full
+    (s_pre, s_key, pred, o_pre, o_key) tuple because fam ↔
+    (s_pre, pred, o_pre) is a bijection and the keys are numeric."""
     orders = _t(spark, sf_dir, "orders")
     lineitem = _t(spark, sf_dir, "lineitem")
     customer = _t(spark, sf_dir, "customer")
     supplier = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
 
-    # Shuffle COMPACT KEYS, build URI strings only after the exchange:
-    # the testdata files are single-row-group parquet, so each scan is
-    # one task no matter what maxPartitionBytes says — keeping the
-    # pre-shuffle side to raw longs moves the string concat onto the
-    # post-shuffle side (full parallelism) and shrinks the exchange from
-    # ~25-byte URIs to 8-byte keys. Dedup on (prefix, key) equals dedup
-    # on the concatenated URI because prefixes are ':'-free constants
-    # and keys are numeric (the concat is injective).
-    def fam(df, s_pre, s_key, pred, o_pre, o_key):
+    def fam(df, fid, s_key, o_key):
         return df.select(
-            F.lit(s_pre).alias("s_pre"),
+            F.lit(fid).cast("tinyint").alias("fam"),
             F.col(s_key).cast("long").alias("s_key"),
-            F.lit(pred).alias("pred"),
-            F.lit(o_pre).alias("o_pre"),
             F.col(o_key).cast("long").alias("o_key"),
         )
 
     raw = (
-        fam(orders, "cust", "o_custkey", "PLACED", "order", "o_orderkey")
-        .unionByName(fam(lineitem, "order", "l_orderkey", "CONTAINS", "part", "l_partkey"))
-        .unionByName(fam(lineitem, "order", "l_orderkey", "SUPPLIED_BY", "supplier", "l_suppkey"))
-        .unionByName(fam(customer, "cust", "c_custkey", "LOCATED_IN", "nation", "c_nationkey"))
-        .unionByName(fam(supplier, "supplier", "s_suppkey", "LOCATED_IN", "nation", "s_nationkey"))
-        .unionByName(fam(nation, "nation", "n_nationkey", "PART_OF", "region", "n_regionkey"))
+        fam(orders, 0, "o_custkey", "o_orderkey")
+        .unionByName(fam(lineitem, 1, "l_orderkey", "l_partkey"))
+        .unionByName(fam(lineitem, 2, "l_orderkey", "l_suppkey"))
+        .unionByName(fam(customer, 3, "c_custkey", "c_nationkey"))
+        .unionByName(fam(supplier, 4, "s_suppkey", "s_nationkey"))
+        .unionByName(fam(nation, 5, "n_nationkey", "n_regionkey"))
     )
-    return raw.dropDuplicates(["s_pre", "s_key", "pred", "o_pre", "o_key"]).select(
-        F.concat("s_pre", F.lit(":"), F.col("s_key").cast("string")).alias("subj"),
-        "pred",
-        F.concat("o_pre", F.lit(":"), F.col("o_key").cast("string")).alias("obj"),
+    return raw.dropDuplicates(["fam", "s_key", "o_key"])
+
+
+def star_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(subj, pred, obj) edge families from the relational star schema —
+    the testdata analogue of the citation-graph build
+    (neo4j_citation_relationship_builder.py:107-163): FK → edge, MERGE →
+    dropDuplicates. URI strings are decoded from the compact family
+    code only AFTER the dedup exchange."""
+    return _star_keys(spark, sf_dir).select(
+        F.concat(_fam_case(0), F.lit(":"), F.col("s_key").cast("string")).alias("subj"),
+        _fam_case(1).alias("pred"),
+        F.concat(_fam_case(2), F.lit(":"), F.col("o_key").cast("string")).alias("obj"),
     )
 
 
@@ -405,11 +434,17 @@ def q_cast_guard(spark, sf):
 
 
 def q_kg_star_triples(spark, sf):
-    """KG materialization (flagship, parameterized by sf)."""
+    """KG materialization (flagship, parameterized by sf). Counts ride
+    the compact family code: per-fam counts (6 rows) decode to pred
+    and re-sum — the per-pred totals are identical to grouping the
+    decoded triple table, with no string ever shuffled."""
+    per_fam = _star_keys(spark, sf).groupBy("fam").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
     return (
-        star_triples(spark, sf)
+        per_fam.select(_fam_case(1).alias("pred"), "_n")
         .groupBy("pred")
-        .agg(F.count(F.lit(1)).alias("n_triples"))
+        .agg(F.sum("_n").alias("n_triples"))
     )
 
 
@@ -479,11 +514,33 @@ FROM per_triple GROUP BY pred, family
 
 def q_degree_topk(spark, sf):
     """A3/W1: out-degree analytics over the star KG (top-10 cited shape,
-    neo4j_citation_relationship_builder.py:359-370)."""
+    neo4j_citation_relationship_builder.py:359-370). The degree
+    aggregate groups on (subject-prefix code, key) — fams 0/3 share
+    subj prefix 'cust' and 1/2 share 'order', so the code is the subj
+    URI's equivalence class — and the URI string is built only for the
+    1-per-subject rows feeding the TakeOrdered(10)."""
+    keys = _star_keys(spark, sf)
+    s_code = (
+        F.when(F.col("fam").isin(0, 3), F.lit(0))
+        .when(F.col("fam").isin(1, 2), F.lit(1))
+        .when(F.col("fam") == 4, F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("tinyint")
+    )
+    s_pre = (
+        F.when(F.col("_sc") == 0, F.lit("cust"))
+        .when(F.col("_sc") == 1, F.lit("order"))
+        .when(F.col("_sc") == 2, F.lit("supplier"))
+        .otherwise(F.lit("nation"))
+    )
     return (
-        star_triples(spark, sf)
-        .groupBy("subj")
+        keys.select(s_code.alias("_sc"), "s_key")
+        .groupBy("_sc", "s_key")
         .agg(F.count(F.lit(1)).alias("out_degree"))
+        .select(
+            F.concat(s_pre, F.lit(":"), F.col("s_key").cast("string")).alias("subj"),
+            "out_degree",
+        )
         .orderBy(F.desc("out_degree"), F.asc("subj"))
         .limit(10)
     )
@@ -2894,13 +2951,17 @@ def q_audio_frame_energy(spark, sf):
     """Per-frame audio energy (multimodal.audio_frame_energy): real
     little-endian int16 PCM decode via numpy.frombuffer, 128-sample
     full frames, exact-integer sum-of-squares + peak — the
-    VAD/clipping signals an audio curation gate filters on."""
+    VAD/clipping signals an audio curation gate filters on. Payload
+    synthesis uses the byte-identical vectorized builder
+    (synth_pcm_payload_py) behind a round-robin repartition — the JVM
+    per-sample hex expression in the single-split scan task was the
+    query's dominant cost."""
     from kgflow.operators import multimodal
 
-    d = _t(spark, sf, "documents").select(
-        "doc_id", multimodal.synth_pcm_payload("doc_id").alias("payload")
+    d = _t(spark, sf, "documents").select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism
     )
-    return multimodal.audio_frame_energy(d)
+    return multimodal.audio_frame_energy(multimodal.synth_pcm_payload_py(d))
 
 
 def q_trigram_lm_score(spark, sf):

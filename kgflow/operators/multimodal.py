@@ -301,6 +301,41 @@ def synth_pcm_payload(doc_id: Column | str) -> Column:
     )
 
 
+def synth_pcm_payload_py(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched twin of :func:`synth_pcm_payload`: the same
+    little-endian int16 PCM bytes (sample i of doc d is
+    ``((d*2654435761 + i*40503 + 32768) % 65536)`` as a uint16 wire
+    value, clip length ``512 + d % 256``), synthesized with one
+    vectorized numpy expression per clip instead of a per-sample
+    interpreted hex/concat JVM expression (~0.4 ms/clip there — the
+    dominant cost of the audio query, guide §4.2). Returns
+    (id_col, payload binary); byte-for-byte equal to the JVM builder.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_t = docs.schema[id_col].dataType.simpleString()
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf[id_col]:
+                d = int(did)
+                n = 512 + d % 256
+                vals = (
+                    d * 2654435761 + np.arange(n, dtype=np.int64) * 40503 + 32768
+                ) % 65536
+                ids.append(did)
+                payloads.append(vals.astype("<u2").tobytes())
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    return docs.select(id_col).mapInPandas(
+        synth, schema=f"{id_col} {id_t}, payload binary"
+    )
+
+
 def audio_frame_energy(
     audio: DataFrame,
     frame: int = 128,
@@ -329,13 +364,16 @@ def audio_frame_energy(
             for did, b in zip(pdf[id_col], pdf[payload_col]):
                 x = np.frombuffer(bytes(b), dtype="<i2").astype(np.int64)
                 n_full = len(x) // frame
-                for f in range(n_full):
-                    seg = x[f * frame : (f + 1) * frame]
-                    ids.append(did)
-                    fidx.append(f)
-                    sums.append(int(np.sum(seg * seg)))
-                    peaks.append(int(np.max(np.abs(seg))))
-                    ns.append(len(x))
+                if n_full == 0:
+                    continue
+                # all frames of the clip in one reshape — exact int64
+                # sums/maxes, no per-frame Python loop
+                segs = x[: n_full * frame].reshape(n_full, frame)
+                ids.extend([did] * n_full)
+                fidx.extend(range(n_full))
+                sums.extend((segs * segs).sum(axis=1).tolist())
+                peaks.extend(np.abs(segs).max(axis=1).tolist())
+                ns.extend([len(x)] * n_full)
             yield pd.DataFrame(
                 {
                     id_col: pd.Series(ids, dtype="int64"),

@@ -42,40 +42,67 @@ def repetition_stats(
     the Gopher bigram threshold). Documents with fewer than ``n``
     tokens are excluded — they have no n-gram to profile.
 
-    Plan: explode n-grams → groupBy (doc, gram) count → groupBy doc
-    ``max(struct(count, gram))``. Both aggregates partial map-side;
-    the per-doc carry columns (n_tokens, dup fraction) are functionally
-    dependent on the id and ride the grouping keys instead of a
-    re-join.
+    Plan: the per-document most-frequent n-gram needs no shuffle at
+    all — a document's n-grams fit in its own row. Sort the gram array
+    and run-length scan it with one ``F.aggregate`` fold, updating a
+    (best_count, best_gram) accumulator; struct comparison on
+    (count, gram) reproduces the old two-aggregate ``max(struct(c,
+    ng))`` tie-break (largest gram among equal counts) exactly. The
+    earlier explode → groupBy(doc, gram) → groupBy(doc) formulation
+    shuffled one row per (doc, gram) occurrence class twice (~42 s at
+    sf1.0); this is a narrow map behind one round-robin exchange that
+    spreads the single-split parquet scan across cores (guide §2.4:
+    remove shuffles outright; §2.2 input-split starvation).
     """
-    base = docs.select(
-        F.col(id_col),
-        tx.token_count(text_col).cast("long").alias("n_tokens"),
-        tx.dup_token_fraction(text_col).alias("dup_token_frac"),
-        F.explode(tx.word_ngrams(text_col, n)).alias("ng"),
+    spark = docs.sparkSession
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    init = F.struct(
+        zero.alias("bc"),
+        F.lit("").alias("bg"),
+        zero.alias("cc"),
+        F.lit(None).cast("string").alias("cg"),
     )
-    counts = base.groupBy(id_col, "n_tokens", "dup_token_frac", "ng").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    top = (
-        counts.groupBy(id_col, "n_tokens", "dup_token_frac")
-        .agg(F.max(F.struct(F.col("c"), F.col("ng"))).alias("m"))
+
+    def merge(acc, x):
+        new_cc = F.when(x == acc["cg"], acc["cc"] + one).otherwise(one)
+        better = (new_cc > acc["bc"]) | (
+            (new_cc == acc["bc"]) & (x >= acc["bg"])
+        )
+        return F.struct(
+            F.when(better, new_cc).otherwise(acc["bc"]).alias("bc"),
+            F.when(better, x).otherwise(acc["bg"]).alias("bg"),
+            new_cc.alias("cc"),
+            x.alias("cg"),
+        )
+
+    return (
+        docs.select(F.col(id_col), F.col(text_col).alias("_tx"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.col(id_col),
+            tx.token_count("_tx").cast("long").alias("n_tokens"),
+            tx.dup_token_fraction("_tx").alias("dup_token_frac"),
+            F.aggregate(
+                F.array_sort(tx.word_ngrams("_tx", n)), init, merge
+            ).alias("_m"),
+        )
+        .filter(F.col("_m")["bc"] > 0)
         .select(
             id_col,
             "n_tokens",
             "dup_token_frac",
-            F.col("m.ng").alias("top_ngram"),
-            F.col("m.c").alias("top_ngram_count"),
+            F.col("_m")["bg"].alias("top_ngram"),
+            F.col("_m")["bc"].alias("top_ngram_count"),
             F.round(
                 F.least(
                     F.lit(1.0),
-                    F.col("m.c") * n / F.col("n_tokens").cast("double"),
+                    F.col("_m")["bc"] * n / F.col("n_tokens").cast("double"),
                 ),
                 6,
             ).alias("top_ngram_frac"),
         )
     )
-    return top
 
 
 #: default thresholds, Gopher-shaped (Rae et al. 2021, Table A1) but

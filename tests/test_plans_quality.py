@@ -135,15 +135,17 @@ def test_quality_gate_zero_shuffle(spark, entrymod):
 
 
 def test_repetition_stats_no_window_two_shuffles(spark, entrymod):
-    """Top-n-gram selection must be the two-level aggregate (partial
-    map-side), never a per-doc window sort; exactly the two designed
-    shuffle exchanges — (doc, gram) counts and the per-doc max."""
+    """Top-n-gram selection is fully IN-ROW (sorted-array run-length
+    fold) — never a per-doc window sort and never a hash shuffle of
+    (doc, gram) rows; the only permitted exchange is the single
+    round-robin repartition that spreads the single-split parquet scan
+    across cores."""
     plan = _plan(entrymod.queries()["repetition_stats"](spark, SF))
     assert "Window" not in plan
     # Spark renders shuffle nodes as "Exchange hashpartitioning(...)" —
     # counting "ShuffleExchange" would always be 0 and make this vacuous
-    assert plan.count("Exchange hashpartitioning") <= 2
-    assert plan.count("Exchange") <= 2  # no extra broadcast/range exchanges either
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert plan.count("Exchange") <= 1  # the scan-spreading round-robin only
 
 
 def test_lm_quality_score_join_strategies(spark, entrymod):
