@@ -3032,7 +3032,11 @@ def q_dedup_delta(spark, sf):
 
     docs = _t(spark, sf, "documents").select("doc_id", "text")
     store_docs = docs.filter(F.col("doc_id") % 4 != 0)
-    store = dedup.build_dedup_store(store_docs)
+    # the store is consumed three times (exact-tier fingerprint join,
+    # signature bands, agreement verify); lazy-materialize it once —
+    # in production it IS a materialized table, so this also mirrors
+    # the deployment shape instead of rebuilding signatures per use
+    store = dedup.build_dedup_store(store_docs).localCheckpoint(eager=False)
     delta = (
         store_docs.filter(F.col("doc_id") % 10 == 1)
         .select((F.col("doc_id") + 200000).alias("doc_id"), "text")

@@ -84,15 +84,17 @@ def main() -> None:
     for t in range(trials):
         for name in names:
             spark.sparkContext.setJobDescription(f"bench_extra:{name}")
+            # time construction + write, exactly like bench.py (some
+            # queries do driver-side work while building the frame)
+            t0 = time.time()
             df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            raw[name].append(round(time.time() - t0, 3))
             if plans_dir and t == 0:
                 os.makedirs(plans_dir, exist_ok=True)
                 with open(os.path.join(plans_dir, f"{name}{suffix}.txt"), "w") as fh:
                     fh.write(df._sc._jvm.PythonSQLUtils.explainString(
                         df._jdf.queryExecution(), "formatted"))
-            t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
-            raw[name].append(round(time.time() - t0, 3))
             spark.sparkContext.setJobDescription(None)
     out = {
         "sf_dir": sf_dir,

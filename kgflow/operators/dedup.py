@@ -327,11 +327,15 @@ def _simhash_map(docs: DataFrame, id_col: str, text_col: str, bits: int) -> Data
     hit (md5 masks are cached per worker — Zipf vocabularies hit the
     cache almost always) and each document one small vectorized
     reduction (guide §4.2: batch native code beats row-at-a-time JVM
-    expressions). Zero shuffle, zero row amplification, narrow map.
+    expressions). One round-robin repartition spreads the single-split
+    parquet scan across cores (a testdata artifact — at scale the
+    input arrives in many splits and the exchange coalesces away);
+    everything after it is a narrow map with zero row amplification.
     """
     import numpy as np
     import pandas as pd
 
+    spark = docs.sparkSession
     id_t = docs.schema[id_col].dataType.simpleString()
     nbits = int(bits)
 
@@ -386,8 +390,10 @@ def _simhash_map(docs: DataFrame, id_col: str, text_col: str, bits: int) -> Data
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(
-        run, schema=f"{id_col} {id_t}, simhash long"
+    return (
+        docs.select(id_col, text_col)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(run, schema=f"{id_col} {id_t}, simhash long")
     )
 
 
@@ -473,21 +479,25 @@ def signature_near_pairs(
         bands = _drop_hot_buckets(bands, ["band_id", "band_val"], max_bucket)
     l = bands.alias("l")
     r = bands.alias("r")
-    cand = (
+    ham = F.bit_count(
+        F.col(f"l.{sig_col}").bitwiseXOR(F.col(f"r.{sig_col}"))
+    )
+    # hamming filter BEFORE the pair dedup: every duplicate row of a
+    # pair carries the same signatures (hence the same hamming), so
+    # filtering first changes nothing in the output while the dedup
+    # exchange ships only surviving (id_a, id_b, hamming) rows — no
+    # signature payload, fewer rows (guide §2.3)
+    return (
         l.join(r, ["band_id", "band_val"])
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col(f"l.{sig_col}").alias("_sa"),
-            F.col(f"r.{sig_col}").alias("_sb"),
+            ham.cast("int").alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
-    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
-    return cand.select(
-        "id_a", "id_b", ham.cast("int").alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
 
 
 def _simhash_bands(
@@ -721,6 +731,13 @@ def embedding_near_duplicates(
     thr = float(threshold)
     pair_chunk = 1 << 16  # bounds the (chunk, dim) product matrix
 
+    # prefilter margin: BLAS pairwise-summed dot vs the exact
+    # left-to-right fold differ by ~dim·eps (≪1e-10); the rounding
+    # boundary sits 5e-5 below the threshold; 2e-4 covers both with
+    # orders of magnitude to spare, and false candidates only pay the
+    # exact re-scoring below
+    pre_thr = thr - 2e-4
+
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         if n < 2:
@@ -735,8 +752,18 @@ def embedding_near_duplicates(
         out_a, out_b, out_c = [], [], []
         for s in range(0, len(iu), pair_chunk):
             ii, jj = iu[s : s + pair_chunk], ju[s : s + pair_chunk]
-            dot = np.cumsum(v[ii] * v[jj], axis=1)[:, -1]
             with np.errstate(divide="ignore", invalid="ignore"):
+                # GEMM prefilter: one BLAS row-wise dot per chunk culls
+                # pairs far below threshold before the exact (and ~10×
+                # costlier) sequential fold + decimal rounding
+                approx = np.einsum("ij,ij->i", v[ii], v[jj]) / (
+                    nrm[ii] * nrm[jj]
+                )
+                cand = approx >= pre_thr
+                if not cand.any():
+                    continue
+                ii, jj = ii[cand], jj[cand]
+                dot = np.cumsum(v[ii] * v[jj], axis=1)[:, -1]
                 # zero-norm rows yield NaN, exactly like the JVM 0/0;
                 # NaN fails every >= comparison and is dropped below
                 cos = _round_half_up_4(dot / (nrm[ii] * nrm[jj]))
@@ -920,9 +947,13 @@ def dedup_delta(
     )
     survivors = nfp.join(exact, id_col, "left_anti")
 
+    # lazy-materialize the survivor signatures: both the banding and
+    # the agreement verify consume them, and without a barrier each
+    # consumer would re-run the exact-tier anti join + signature pass
+    # (delta-sized state — never corpus-sized)
     new_sigs = minhash_signatures(
         survivors, id_col, text_col, num_hashes, shingle_n
-    )
+    ).localCheckpoint(eager=False)
     store_sigs = store.filter(F.col("sig_0").isNotNull()).select(
         F.col(id_col).alias(old), *[f"sig_{i}" for i in range(num_hashes)]
     )

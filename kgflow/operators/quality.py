@@ -79,12 +79,21 @@ def repetition_stats(
     return (
         docs.select(F.col(id_col), F.col(text_col).alias("_tx"))
         .repartition(spark.sparkContext.defaultParallelism)
+        # explode(array(fold)) puts the fold inside a Generate node —
+        # a CollapseProject barrier. A plain aliased column would be
+        # inlined by the optimizer into every downstream reference
+        # (filter + three field extracts), re-running the whole
+        # run-length fold 4× per row (measured 7.5 s vs 2.4 s at sf1.0).
         .select(
             F.col(id_col),
             tx.token_count("_tx").cast("long").alias("n_tokens"),
             tx.dup_token_fraction("_tx").alias("dup_token_frac"),
-            F.aggregate(
-                F.array_sort(tx.word_ngrams("_tx", n)), init, merge
+            F.explode(
+                F.array(
+                    F.aggregate(
+                        F.array_sort(tx.word_ngrams("_tx", n)), init, merge
+                    )
+                )
             ).alias("_m"),
         )
         .filter(F.col("_m")["bc"] > 0)

@@ -61,17 +61,32 @@ def brute_force_topk(
     rounded to 4 dp, ties broken by neighbor id (deterministic, unlike
     the reference's index order).
     """
+    spark = corpus.sparkSession
+    # per-row norms are hoisted OUT of the per-pair expression: with
+    # |Q| queries each corpus row previously re-folded its own norm |Q|
+    # times (and the query's once per pair); precomputing both leaves
+    # one dot-fold per pair. norm(a)*norm(b) is a commutative IEEE
+    # multiply, so score doubles are bit-identical. The round-robin
+    # repartition spreads the single-split scan (testdata artifact).
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("_cn", norm(F.col("_cv")))
+    )
     # corpus stays partition-local; the (small) query set is broadcast
     scored = (
         c.crossJoin(F.broadcast(q))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine("_qv", "_cv"), 4).alias("score"),
+            F.round(dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn")), 4).alias(
+                "score"
+            ),
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
@@ -128,21 +143,33 @@ def lsh_bucket_topk(
     """Approximate top-k: score only corpus rows in the query's sign-LSH
     bucket. At scale: corpus bucketing is a narrow map; the join shuffles
     on the short bucket key instead of broadcasting the whole corpus."""
+    spark = corpus.sparkSession
     planes = hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        sign_bucket(vec_col, planes).alias("_bucket"),
+    # spread the single-split scan before the CPU-heavy plane dots,
+    # and hoist per-row norms out of the per-pair score (see
+    # brute_force_topk — bit-identical, commutative multiply)
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "neighbor_id",
+            "_cv",
+            sign_bucket(F.col("_cv"), planes).alias("_bucket"),
+            norm(F.col("_cv")).alias("_cn"),
+        )
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         sign_bucket(vec_col, planes).alias("_bucket"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
     scored = c.join(F.broadcast(q), "_bucket").select(
         "query_id",
         "neighbor_id",
-        F.round(cosine("_qv", "_cv"), 4).alias("score"),
+        F.round(dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn")), 4).alias(
+            "score"
+        ),
     ).filter(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
