@@ -56,6 +56,19 @@ def py_tokens(text: str | None) -> list[str] | None:
     return _JAVA_WS.split(text.strip(" ").lower())
 
 
+def py_fingerprint(text: str | None) -> str | None:
+    """Exact Python twin of :func:`fingerprint` (md5 of
+    ``lower(trim(regexp_replace(text, '\\s+', ' ')))``), with the same
+    Java-regex ASCII ``\\s`` and space-only trim semantics as
+    :func:`py_tokens`."""
+    if text is None:
+        return None
+    import hashlib
+
+    norm = _JAVA_WS.sub(" ", text).strip(" ").lower()
+    return hashlib.md5(norm.encode("utf-8")).hexdigest()
+
+
 def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 

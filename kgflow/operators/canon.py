@@ -161,6 +161,15 @@ def connected_components(
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        # lazy-materialize ONCE: the size gate's count, the driver-path
+        # collect, and (on the distributed path) the initial labels AND
+        # the edge rewrite all consume `e`. Without a barrier each
+        # consumer re-runs the caller's arbitrary upstream plan — for
+        # dedup_clusters that is the whole LSH + Jaccard-verify
+        # pipeline, measured as a full second execution at sf1.0. The
+        # cache is disk-backed executor storage of the edge set, the
+        # same order as the parquet spills the loop already writes.
+        .localCheckpoint(eager=False)
     )
     # Fast path: same-as graphs derived from ontology lexicons are
     # dimension-scale (the reference parses whole ontologies in the
@@ -188,7 +197,9 @@ def connected_components(
             list(cmap.items()), f"id {id_type}, canonical_id {id_type}"
         )
     if n_edges <= 16 * driver_threshold:
-        e_dist = e.dropDuplicates()
+        # materialized once: the gating count and the collect below
+        # would otherwise run the dedup shuffle twice (ADVICE r6)
+        e_dist = e.dropDuplicates().localCheckpoint(eager=False)
         if e_dist.limit(driver_threshold + 1).count() <= driver_threshold:
             cmap = _union_find_map(e_dist.collect())
             return spark.createDataFrame(

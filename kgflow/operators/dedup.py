@@ -886,10 +886,63 @@ def build_dedup_store(
     with no document text retained. Documents too short to shingle
     (< shingle_n tokens) carry NULL signatures and participate in the
     exact tier only. Append :func:`dedup_delta`'s unique survivors'
-    rows after each batch to keep the store current."""
-    fp = docs.select(F.col(id_col), tx.fingerprint(text_col).alias("fingerprint"))
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
-    return fp.join(sigs, id_col, "left")
+    rows after each batch to keep the store current.
+
+    One Arrow-batched pass computes fingerprint AND signatures per doc
+    (each reads the same text), replacing the earlier fingerprint-scan
+    ⋈ signature-scan join — one id shuffle and one corpus scan fewer.
+    ``py_fingerprint`` is the verified byte twin of ``tx.fingerprint``.
+    """
+    import pandas as pd
+
+    spark = docs.sparkSession
+    id_t = docs.schema[id_col].dataType.simpleString()
+    k = int(num_hashes)
+    n = int(shingle_n)
+
+    def run(batches):
+        import hashlib
+
+        cache: dict[str, tuple] = {}
+        prefixes = [f"{i}|".encode("utf-8") for i in range(k)]
+
+        def digests(sh: str) -> tuple:
+            d = cache.get(sh)
+            if d is None:
+                raw = sh.encode("utf-8")
+                d = tuple(hashlib.md5(p + raw).hexdigest() for p in prefixes)
+                cache[sh] = d
+            return d
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                fp = tx.py_fingerprint(text)
+                toks = tx.py_tokens(text)
+                if toks is None or len(toks) < n:
+                    rows.append((did, fp, *([None] * k)))
+                    continue
+                shingles = {
+                    " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+                }
+                sigs = [digests(s) for s in shingles]
+                rows.append(
+                    (did, fp, *[min(d[i] for d in sigs) for i in range(k)])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "fingerprint", *[f"sig_{i}" for i in range(k)]],
+            )
+
+    schema = ", ".join(
+        [f"{id_col} {id_t}", "fingerprint string",
+         *[f"sig_{i} string" for i in range(k)]]
+    )
+    return (
+        docs.select(id_col, text_col)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(run, schema=schema)
+    )
 
 
 def dedup_delta(
