@@ -1558,7 +1558,9 @@ def q_doc_parse_fields(spark, sf):
     104-133), over records synthesized deterministically from documents."""
     from kgflow.operators import docparse
 
-    recs = docparse.synth_json_records(_t(spark, sf, "documents"))
+    recs = docparse.synth_json_records(_t(spark, sf, "documents")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return docparse.parse_records(recs).select("pmid", "title", "abstract")
 
 
@@ -1568,7 +1570,11 @@ def q_doc_parse_triples(spark, sf):
     (PubMedAbstractEmbedding.py:205-215)."""
     from kgflow.operators import docparse
 
-    recs = docparse.synth_json_records(_t(spark, sf, "documents"))
+    # spread the single-split scan so the (pruned) per-field JSON
+    # parses run at full parallelism; the exchange carries the records
+    recs = docparse.synth_json_records(_t(spark, sf, "documents")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return docparse.doc_edge_triples(docparse.parse_records(recs))
 
 
@@ -1580,7 +1586,9 @@ def q_doc_parse_xml(spark, sf):
     cross-checked against one construction inverse."""
     from kgflow.operators import docparse
 
-    recs = docparse.synth_xml_records(_t(spark, sf, "documents"))
+    recs = docparse.synth_xml_records(_t(spark, sf, "documents")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return docparse.parse_xml_records(recs).select("pmid", "title", "abstract")
 
 
@@ -2432,19 +2440,28 @@ def q_bigram_lm_score(spark, sf):
 
 
 def q_data_prep_pipeline(spark, sf):
-    """The training-data prep DAG end-to-end, as ONE declarative plan:
-    quality gate (zero-shuffle scan) → token-budget source mixing
-    (aggregate + broadcast-joined rates, measured on the GATED subset
-    — mix what you actually have) → sequence packing into 512-token
-    bins (one window per source stream). Catalyst sees the whole
-    lineage, so the gate's filter pushes into the single corpus scan
-    feeding both the mix measurement and the final pack."""
+    """The training-data prep DAG: quality gate (zero-shuffle scan) →
+    token-budget source mixing (aggregate + broadcast-joined rates,
+    measured on the GATED subset — mix what you actually have) →
+    sequence packing into 512-token bins (one window per source
+    stream). The gate is a pure row predicate, so survivors come from
+    ONE narrow filter (quality.quality_keep) instead of the earlier
+    gate-frame → id broadcast-join round trip, and neither the mix nor
+    the pack reads text, so the filter projects straight to the narrow
+    decision columns (doc_id, source, n_tokens) — guide §8: decide on
+    small proxies."""
+    from kgflow.functions import text as tx
     from kgflow.operators import quality, sample
 
-    docs = _t(spark, sf, "documents")
-    gate = quality.quality_gate(docs, _QG_RULES)
-    kept = docs.join(gate.filter("keep").select("doc_id"), "doc_id")
-    mixed = sample.source_mix_sample(kept, _MIX_WEIGHTS, _MIX_BUDGET)
+    docs = _t(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    kept = docs.filter(quality.quality_keep(_QG_RULES)).select(
+        "doc_id", "source", tx.token_count("text").cast("long").alias("n_tokens")
+    )
+    mixed = sample.source_mix_sample(
+        kept, _MIX_WEIGHTS, _MIX_BUDGET, n_tokens_col="n_tokens"
+    )
     return sample.pack_sequences(mixed, budget=512, n_tokens_col="n_tokens")
 
 
@@ -2851,7 +2868,7 @@ def _r5_oracles() -> dict[str, str]:
 
 def q_data_prep_pipeline_dedup(spark, sf):
     """Production curation order: gate → exact-dedup keep-reps → mix →
-    pack as ONE Catalyst plan. The synthetic corpus is duplicate-free,
+    pack. The synthetic corpus is duplicate-free,
     so the query injects a deterministic duplicate shard (every 5th doc
     re-keyed +100000 — the shape of a backfill double-load) and the
     dedup stage must collapse each fingerprint group to its min-id
@@ -2869,17 +2886,21 @@ def q_data_prep_pipeline_dedup(spark, sf):
     dup = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
         "doc_id", F.col("doc_id") + 100000
     )
-    corpus = docs.unionByName(dup)
-    gate = quality.quality_gate(corpus, _QG_RULES)
-    kept = corpus.join(gate.filter("keep").select("doc_id"), "doc_id")
+    # spread the single-split scan before the gate/fingerprint passes
+    corpus = docs.unionByName(dup).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # the gate is a pure row predicate (quality.quality_keep): one
+    # narrow filter replaces the gate-frame → id join, projecting
+    # straight to the narrow decision columns the dedup/mix/pack need
+    kept = corpus.filter(quality.quality_keep(_QG_RULES)).select(
+        "doc_id",
+        "source",
+        tx.token_count("text").cast("long").alias("n_tokens"),
+        tx.fingerprint("text").alias("fp"),
+    )
     reps = (
-        kept.select(
-            "doc_id",
-            "source",
-            tx.token_count("text").cast("long").alias("n_tokens"),
-            tx.fingerprint("text").alias("fp"),
-        )
-        .groupBy("fp")
+        kept.groupBy("fp")
         .agg(
             F.min_by(
                 F.struct("doc_id", "source", "n_tokens"), F.col("doc_id")
@@ -3064,7 +3085,12 @@ def q_quality_curriculum_sample(spark, sf):
     from kgflow.operators import quality
     from kgflow.operators.sample import _HASH_SPACE, _hash32
 
-    scores = quality.unigram_logprob_score(_t(spark, sf, "documents"))
+    # the scores frame feeds BOTH the percentile aggregate and the
+    # bucketing join; lazy-materialize it once instead of running the
+    # whole unigram-LM pipeline twice (50k small rows)
+    scores = quality.unigram_logprob_score(
+        _t(spark, sf, "documents")
+    ).localCheckpoint(eager=False)
     qs = scores.agg(
         F.round(F.expr("percentile(lm_score, 0.25)"), 6).alias("q1"),
         F.round(F.expr("percentile(lm_score, 0.5)"), 6).alias("q2"),

@@ -473,7 +473,12 @@ def tfidf_top_terms(
     from .util import gated_broadcast
     from ..functions import text as tx
 
-    toks = docs.select(F.col(id_col), F.explode(tx.tokens(text_col)).alias("tok"))
+    # spread the single-split scan before the tokenize/explode
+    toks = (
+        docs.select(F.col(id_col), F.col(text_col))
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select(F.col(id_col), F.explode(tx.tokens(text_col)).alias("tok"))
+    )
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
     dft = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))

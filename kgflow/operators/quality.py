@@ -145,26 +145,7 @@ def quality_gate(
     size. Rules are literal-folded thresholds; unknown rule names
     raise rather than being ignored.
     """
-    r = dict(DEFAULT_RULES)
-    if rules:
-        unknown = set(rules) - set(DEFAULT_RULES)
-        if unknown:
-            raise ValueError(f"unknown quality rules: {sorted(unknown)}")
-        r.update(rules)
-
-    n = tx.token_count(text_col).cast("long")
-    avg_len = tx.avg_token_len(text_col)
-    dup = tx.dup_token_fraction(text_col)
-    sw = tx.stopword_ratio(text_col)
-
-    checks = [
-        ("min_tokens", n < int(r["min_tokens"])),
-        ("max_tokens", n > int(r["max_tokens"])),
-        ("min_avg_token_len", avg_len < float(r["min_avg_token_len"])),
-        ("max_avg_token_len", avg_len > float(r["max_avg_token_len"])),
-        ("max_dup_token_frac", dup > float(r["max_dup_token_frac"])),
-        ("min_stopword_ratio", sw < float(r["min_stopword_ratio"])),
-    ]
+    checks = _gate_checks(rules, text_col)
     reasons = F.array_sort(
         F.filter(
             F.array(
@@ -181,6 +162,46 @@ def quality_gate(
         reasons.alias("reasons"),
         (F.size(reasons) == 0).alias("keep"),
     )
+
+
+def _gate_checks(rules: dict | None, text_col: str) -> list:
+    """(rule_name, failure_condition) pairs shared by
+    :func:`quality_gate` and :func:`quality_keep`."""
+    r = dict(DEFAULT_RULES)
+    if rules:
+        unknown = set(rules) - set(DEFAULT_RULES)
+        if unknown:
+            raise ValueError(f"unknown quality rules: {sorted(unknown)}")
+        r.update(rules)
+
+    n = tx.token_count(text_col).cast("long")
+    avg_len = tx.avg_token_len(text_col)
+    dup = tx.dup_token_fraction(text_col)
+    sw = tx.stopword_ratio(text_col)
+
+    return [
+        ("min_tokens", n < int(r["min_tokens"])),
+        ("max_tokens", n > int(r["max_tokens"])),
+        ("min_avg_token_len", avg_len < float(r["min_avg_token_len"])),
+        ("max_avg_token_len", avg_len > float(r["max_avg_token_len"])),
+        ("max_dup_token_frac", dup > float(r["max_dup_token_frac"])),
+        ("min_stopword_ratio", sw < float(r["min_stopword_ratio"])),
+    ]
+
+
+def quality_keep(rules: dict | None = None, text_col: str = "text"):
+    """The gate's keep predicate as a single boolean Column — for
+    pipelines that only need the survivors and not the reasons audit.
+    ``docs.filter(quality_keep(rules))`` selects exactly the rows
+    ``quality_gate(docs, rules).filter("keep")`` would keep (a rule
+    whose condition is NULL — e.g. on null text — contributes no
+    failure reason in the gate, so NULL counts as not-failed here
+    too), without the gate → id-join round trip: the gate is a pure
+    row function, so keep-filtering is a narrow in-scan predicate."""
+    keep = F.lit(True)
+    for _, cond in _gate_checks(rules, text_col):
+        keep = keep & ~F.coalesce(cond, F.lit(False))
+    return keep
 
 
 def unigram_logprob_score(
@@ -214,11 +235,18 @@ def unigram_logprob_score(
     """
     from .util import gated_broadcast
 
-    toks = docs.select(F.col(id_col), F.explode(tx.tokens(text_col)).alias("tok"))
+    sc = docs.sparkSession.sparkContext
+    toks = (
+        docs.select(F.col(id_col), F.col(text_col))
+        .repartition(sc.defaultParallelism)
+        .select(F.col(id_col), F.explode(tx.tokens(text_col)).alias("tok"))
+    )
     fit_toks = (
         toks
         if fit_docs is None
-        else fit_docs.select(F.explode(tx.tokens(text_col)).alias("tok"))
+        else fit_docs.select(F.col(text_col))
+        .repartition(sc.defaultParallelism)
+        .select(F.explode(tx.tokens(text_col)).alias("tok"))
     )
     freq = fit_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     # 1-row total; broadcast so the log-prob table is one narrow pass
@@ -253,6 +281,11 @@ def _context_stream(
     re-tokenize), and one explode yields the stream. Zero shuffle;
     the array never outlives the projection."""
     cols = [F.col(id_col)] if id_col else []
+    # spread the single-split scan BEFORE the CPU-heavy tokenize +
+    # indexed-transform projection (raw text crosses the exchange once)
+    d = d.select(*cols, F.col(text_col)).repartition(
+        d.sparkSession.sparkContext.defaultParallelism
+    )
     base = d.select(*cols, tx.tokens(text_col).alias("_t"))
     trips = F.transform(
         F.col("_t"),
@@ -452,6 +485,10 @@ def bigram_logprob_score(
             F.slice(t, 1, F.size(t) - 1),
         )
         cols = [F.col(id_col)] if with_id else []
+        # spread the single-split scan before the tokenize/zip/explode
+        d = d.select(*cols, F.col(text_col)).repartition(
+            d.sparkSession.sparkContext.defaultParallelism
+        )
         return d.select(*cols, F.explode(F.arrays_zip(prevs, t)).alias("p")).select(
             *([id_col] if with_id else []),
             F.col("p")["0"].alias("prev"),
