@@ -1614,7 +1614,13 @@ def q_prefix_match_join(spark, sf):
 def q_path_upto3(spark, sf):
     """J12: bounded variable-length path *1..3 (import_hpo.cql:271-273)
     over the containment hierarchy order→customer→nation→region;
-    aggregated to (src node type, dst, n) so the result stays compact."""
+    aggregated to (src node type, dst, n) so the result stays compact.
+
+    Every hop join / dedup / grouping runs on COMPACT node ids —
+    ``kind << 48 | key`` packs the (prefix, numeric key) node identity
+    into one long (bijective: keys ≪ 2⁴⁸), so the three join rounds
+    shuffle 8-byte longs instead of URI strings (guide §2.3); the URI
+    strings are decoded only for the aggregated output rows."""
     from kgflow.operators import canon
 
     orders = _t(spark, sf, "orders")
@@ -1622,20 +1628,40 @@ def q_path_upto3(spark, sf):
     supplier = _t(spark, sf, "supplier")
     nation = _t(spark, sf, "nation")
 
-    def uri(prefix, col):
-        return F.concat(F.lit(prefix + ":"), F.col(col).cast("string"))
+    kinds = ["order", "cust", "supplier", "nation", "region"]
+
+    def nid(kind: int, col):
+        return (
+            F.lit(kind * (1 << 48)) + F.col(col).cast("long")
+        ).alias  # caller names it
 
     edges = (
-        orders.select(uri("order", "o_orderkey").alias("src"), uri("cust", "o_custkey").alias("dst"))
-        .unionByName(customer.select(uri("cust", "c_custkey").alias("src"), uri("nation", "c_nationkey").alias("dst")))
-        .unionByName(supplier.select(uri("supplier", "s_suppkey").alias("src"), uri("nation", "s_nationkey").alias("dst")))
-        .unionByName(nation.select(uri("nation", "n_nationkey").alias("src"), uri("region", "n_regionkey").alias("dst")))
+        orders.select(nid(0, "o_orderkey")("src"), nid(1, "o_custkey")("dst"))
+        .unionByName(customer.select(nid(1, "c_custkey")("src"), nid(3, "c_nationkey")("dst")))
+        .unionByName(supplier.select(nid(2, "s_suppkey")("src"), nid(3, "s_nationkey")("dst")))
+        .unionByName(nation.select(nid(3, "n_nationkey")("src"), nid(4, "n_regionkey")("dst")))
     )
     paths = canon.bounded_paths(edges, max_hops=3)
-    return (
-        paths.groupBy(
-            F.split("src", ":")[0].alias("src_kind"), "dst", "min_depth"
-        ).agg(F.count(F.lit(1)).alias("n_srcs"))
+
+    def kind_str(c):
+        expr = F.when(c == 0, F.lit(kinds[0]))
+        for i in range(1, len(kinds)):
+            expr = expr.when(c == i, F.lit(kinds[i]))
+        return expr
+
+    # aggregate on the compact ids, decode URIs for the result rows
+    agg = paths.groupBy(
+        F.shiftright("src", 48).alias("_sk"), "dst", "min_depth"
+    ).agg(F.count(F.lit(1)).alias("n_srcs"))
+    return agg.select(
+        kind_str(F.col("_sk")).alias("src_kind"),
+        F.concat(
+            kind_str(F.shiftright("dst", 48)),
+            F.lit(":"),
+            (F.col("dst").bitwiseAND(F.lit((1 << 48) - 1))).cast("string"),
+        ).alias("dst"),
+        "min_depth",
+        "n_srcs",
     )
 
 

@@ -94,11 +94,20 @@ def snapshot_summary_props(
     ``SNAPSHOT_PROP_PREFIX`` session confs exists exactly iff the commit
     it rode on exists — there is no window where the data landed but the
     guard did not."""
+    # key-presence filter pushed into the SQL + LIMIT 1: a long-running
+    # stream accumulates one snapshot per micro-batch, and collecting
+    # EVERY summary to the driver per batch grows unboundedly (ADVICE
+    # r6); the most recent guard-carrying snapshot is the only row the
+    # guard ever reads, so ship exactly that one.
+    presence = " AND ".join(
+        f"element_at(summary, '{k}') IS NOT NULL" for k in keys
+    )
     try:
         rows = (
             spark.sql(
                 f"SELECT summary FROM {table}.snapshots "
-                "ORDER BY committed_at DESC, snapshot_id DESC"
+                f"WHERE {presence} "
+                "ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
             )
             .collect()
         )
@@ -246,12 +255,15 @@ def _upsert_iceberg(
     batch.createOrReplaceTempView(view)
     prop_keys = [SNAPSHOT_PROP_PREFIX + k for k in (commit_props or {})]
     try:
-        for k, v in (commit_props or {}).items():
-            spark.conf.set(SNAPSHOT_PROP_PREFIX + k, str(v))
         if not spark.catalog.tableExists(table):
             if commit_props:
-                # empty CREATE, then MERGE: the guard props attach to the
-                # commit that actually carries batch 0's rows
+                # empty CREATE first, with NO guard confs set: were the
+                # confs live here, Iceberg would stamp the guard into
+                # the empty CTAS snapshot, and a crash between this
+                # CREATE and the MERGE would leave a snapshot claiming
+                # batch 0 merged — silent data loss on restart (ADVICE
+                # r6, high). The guard confs go live only for the MERGE
+                # below, the commit that actually carries the rows.
                 spark.sql(
                     f"CREATE TABLE {table} USING iceberg "
                     f"AS SELECT * FROM {view} WHERE 1 = 0"
@@ -261,6 +273,8 @@ def _upsert_iceberg(
                     f"CREATE TABLE {table} USING iceberg AS SELECT * FROM {view}"
                 )
                 return
+        for k, v in (commit_props or {}).items():
+            spark.conf.set(SNAPSHOT_PROP_PREFIX + k, str(v))
         spark.sql(
             merge_into_sql(
                 table, view, batch.columns, keys, mode, merge_cols,
