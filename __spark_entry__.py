@@ -1558,8 +1558,8 @@ def q_doc_parse_fields(spark, sf):
     104-133), over records synthesized deterministically from documents."""
     from kgflow.operators import docparse
 
-    recs = docparse.synth_json_records(_t(spark, sf, "documents")).repartition(
-        spark.sparkContext.defaultParallelism
+    recs = docparse.synth_json_records(
+        _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
     )
     return docparse.parse_records(recs).select("pmid", "title", "abstract")
 
@@ -1570,10 +1570,11 @@ def q_doc_parse_triples(spark, sf):
     (PubMedAbstractEmbedding.py:205-215)."""
     from kgflow.operators import docparse
 
-    # spread the single-split scan so the (pruned) per-field JSON
-    # parses run at full parallelism; the exchange carries the records
-    recs = docparse.synth_json_records(_t(spark, sf, "documents")).repartition(
-        spark.sparkContext.defaultParallelism
+    # spread the single-split scan BEFORE the record synthesis: the
+    # to_json struct construction (interpreted HOF transforms) and the
+    # pruned per-field parses then both run at full parallelism
+    recs = docparse.synth_json_records(
+        _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
     )
     return docparse.doc_edge_triples(docparse.parse_records(recs))
 
@@ -1586,8 +1587,8 @@ def q_doc_parse_xml(spark, sf):
     cross-checked against one construction inverse."""
     from kgflow.operators import docparse
 
-    recs = docparse.synth_xml_records(_t(spark, sf, "documents")).repartition(
-        spark.sparkContext.defaultParallelism
+    recs = docparse.synth_xml_records(
+        _t(spark, sf, "documents").repartition(spark.sparkContext.defaultParallelism)
     )
     return docparse.parse_xml_records(recs).select("pmid", "title", "abstract")
 
@@ -1819,8 +1820,12 @@ def q_pii_redact(spark, sf):
     (tx.redact_pii — lookaround-free patterns so Java regex and RE2
     agree bit-for-bit). PII-bearing text is constructed
     deterministically from the customer table so the patterns are
-    actually exercised; zero shuffle, pure codegen."""
-    c = _t(spark, sf, "customer")
+    actually exercised; pure codegen, spread across cores by one
+    round-robin exchange (the single-split customer scan would
+    otherwise run the 4 chained regexes on one task)."""
+    c = _t(spark, sf, "customer").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     ck = F.col("c_custkey").cast("string")
     synth_text = F.concat(
         F.lit("contact "), F.col("c_name"),
@@ -3111,12 +3116,12 @@ def q_quality_curriculum_sample(spark, sf):
     from kgflow.operators import quality
     from kgflow.operators.sample import _HASH_SPACE, _hash32
 
-    # the scores frame feeds BOTH the percentile aggregate and the
-    # bucketing join; lazy-materialize it once instead of running the
-    # whole unigram-LM pipeline twice (50k small rows)
-    scores = quality.unigram_logprob_score(
-        _t(spark, sf, "documents")
-    ).localCheckpoint(eager=False)
+    # NOTE: the scores frame feeds both the percentile aggregate and
+    # the bucketing join; a lazy localCheckpoint barrier was measured
+    # here and REJECTED — Dataset.localCheckpoint's construction cost
+    # (toRdd planning/broadcast build) equals the saved recompute at
+    # this plan size, and regresses sf0.1
+    scores = quality.unigram_logprob_score(_t(spark, sf, "documents"))
     qs = scores.agg(
         F.round(F.expr("percentile(lm_score, 0.25)"), 6).alias("q1"),
         F.round(F.expr("percentile(lm_score, 0.5)"), 6).alias("q2"),
