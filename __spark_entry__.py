@@ -407,8 +407,11 @@ def q_case_decode(spark, sf):
 
 
 def q_json_extract(spark, sf):
-    """§2.7 json: parse the props JSON column."""
-    e = _t(spark, sf, "events")
+    """§2.7 json: parse the props JSON column (events arrives as one
+    split — spread before the 1M get_json_object parses)."""
+    e = _t(spark, sf, "events").select("event_type", "props").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return (
         e.select(
             "event_type",
@@ -460,30 +463,63 @@ def q_kg_prov_rollup(spark, sf):
     supplier = _t(spark, sf, "supplier")
     nation = _t(spark, sf, "nation")
 
-    def uri(prefix: str, col) -> F.Column:
-        return F.concat(F.lit(prefix + ":"), F.col(col).cast("string"))
+    # Compact-key aggregation (same bijection argument as _star_keys):
+    # a family id determines (subj prefix, pred, obj prefix), so a
+    # given (subj, pred, obj) triple belongs to exactly ONE family —
+    # min(family) over a triple's observations IS its family — and the
+    # per-triple aggregate can group on (fam tinyint, s_key, o_key)
+    # instead of shuffling three URI strings per observation row. The
+    # (pred, family) rollup then needs only the per-fam tails.
+    fam_names = [
+        ("PLACED", "orders_fk"),
+        ("CONTAINS", "lineitem_part_fk"),
+        ("SUPPLIED_BY", "lineitem_supp_fk"),
+        ("LOCATED_IN", "customer_fk"),
+        ("LOCATED_IN", "supplier_fk"),
+        ("PART_OF", "nation_fk"),
+    ]
 
-    def fam(df, s, p, o, family):
+    def fam(df, fid, s_key, o_key):
         return df.select(
-            s.alias("subj"), F.lit(p).alias("pred"), o.alias("obj"),
-            F.lit(family).alias("family"),
+            F.lit(fid).cast("tinyint").alias("fam"),
+            F.col(s_key).cast("long").alias("s_key"),
+            F.col(o_key).cast("long").alias("o_key"),
         )
 
     raw = (
-        fam(orders, uri("cust", "o_custkey"), "PLACED", uri("order", "o_orderkey"), "orders_fk")
-        .unionByName(fam(lineitem, uri("order", "l_orderkey"), "CONTAINS", uri("part", "l_partkey"), "lineitem_part_fk"))
-        .unionByName(fam(lineitem, uri("order", "l_orderkey"), "SUPPLIED_BY", uri("supplier", "l_suppkey"), "lineitem_supp_fk"))
-        .unionByName(fam(customer, uri("cust", "c_custkey"), "LOCATED_IN", uri("nation", "c_nationkey"), "customer_fk"))
-        .unionByName(fam(supplier, uri("supplier", "s_suppkey"), "LOCATED_IN", uri("nation", "s_nationkey"), "supplier_fk"))
-        .unionByName(fam(nation, uri("nation", "n_nationkey"), "PART_OF", uri("region", "n_regionkey"), "nation_fk"))
+        fam(orders, 0, "o_custkey", "o_orderkey")
+        .unionByName(fam(lineitem, 1, "l_orderkey", "l_partkey"))
+        .unionByName(fam(lineitem, 2, "l_orderkey", "l_suppkey"))
+        .unionByName(fam(customer, 3, "c_custkey", "c_nationkey"))
+        .unionByName(fam(supplier, 4, "s_suppkey", "s_nationkey"))
+        .unionByName(fam(nation, 5, "n_nationkey", "n_regionkey"))
     )
-    per_triple = raw.groupBy("subj", "pred", "obj").agg(
-        F.min("family").alias("family"), F.count(F.lit(1)).alias("n_obs")
+    per_triple = raw.groupBy("fam", "s_key", "o_key").agg(
+        F.count(F.lit(1)).alias("n_obs")
     )
-    return per_triple.groupBy("pred", "family").agg(
+    per_fam = per_triple.groupBy("fam").agg(
         F.count(F.lit(1)).alias("n_triples"),
         F.sum("n_obs").alias("n_obs_total"),
         F.sum(F.when(F.col("n_obs") > 1, 1).otherwise(0)).alias("n_multi"),
+    )
+
+    def decode(which: int):
+        expr = F.when(F.col("fam") == 0, F.lit(fam_names[0][which]))
+        for i in range(1, 6):
+            expr = expr.when(F.col("fam") == i, F.lit(fam_names[i][which]))
+        return expr
+
+    return (
+        per_fam.select(
+            decode(0).alias("pred"), decode(1).alias("family"),
+            "n_triples", "n_obs_total", "n_multi",
+        )
+        .groupBy("pred", "family")
+        .agg(
+            F.sum("n_triples").alias("n_triples"),
+            F.sum("n_obs_total").alias("n_obs_total"),
+            F.sum("n_multi").alias("n_multi"),
+        )
     )
 
 
@@ -651,8 +687,11 @@ def q_text_stats(spark, sf):
 
 
 def q_lang_guess(spark, sf):
-    """Heuristic language ID (marker-word argmax) vs the labeled lang."""
-    d = _t(spark, sf, "documents")
+    """Heuristic language ID (marker-word argmax) vs the labeled lang;
+    marker scans spread across cores (single-split input)."""
+    d = _t(spark, sf, "documents").select("lang", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return (
         d.select("lang", tx.lang_guess("text").alias("guess"))
         .groupBy("lang", "guess")
@@ -1509,10 +1548,15 @@ def q_ann_brute_topk_np(spark, sf):
 def q_boilerplate_shingles(spark, sf):
     """Boilerplate detection for training-data hygiene: 3-gram shingles
     shared across the most documents (candidates for removal)."""
-    d = _t(spark, sf, "documents")
+    # spread BEFORE shingling: the earlier order computed the shingle
+    # arrays in the single-split scan task and shuffled the exploded
+    # rows; this exchange carries the raw text once (guide §2.3)
+    d = _t(spark, sf, "documents").select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sh = d.select(
         "doc_id", F.explode(tx.word_shingles("text", 3)).alias("shingle")
-    ).repartition(d.sparkSession.sparkContext.defaultParallelism)
+    )
     return (
         sh.groupBy("shingle")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -1716,7 +1760,9 @@ def q_contamination_probe_ac(spark, sf):
     dimension."""
     import pandas as pd
 
-    d = _t(spark, sf, "documents").select("text")
+    d = _t(spark, sf, "documents").select("text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     probes = list(_PROBES)
     bc = spark.sparkContext.broadcast(probes)
 
@@ -2439,11 +2485,18 @@ _QG_RULES = {
 def q_quality_gate(spark, sf):
     """One-pass Gopher-rule quality gate (quality.quality_gate):
     per-doc sorted array of FAILED rule names plus the derived keep
-    flag — filtering and the drop-audit report are the same zero-
-    shuffle scan (no silent drops)."""
+    flag — filtering and the drop-audit report are the same narrow
+    scan (no silent drops). The operator itself stays shuffle-free;
+    the query spreads the single-split input once so the rule
+    expressions run on all cores."""
     from kgflow.operators import quality
 
-    return quality.quality_gate(_t(spark, sf, "documents"), _QG_RULES)
+    return quality.quality_gate(
+        _t(spark, sf, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        ),
+        _QG_RULES,
+    )
 
 
 def q_lm_quality_score(spark, sf):

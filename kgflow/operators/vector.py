@@ -358,6 +358,11 @@ def ivf_topk(
     probes its ``nprobe`` nearest clusters and scores only inside them.
     At 100 TB the assignment is precomputed/partitioned-by-cluster, so a
     probe touches nprobe/k of the data."""
+    # spread the single-split scan before the per-centroid distance
+    # folds (k interpreted O(dim) aggregates per row)
+    corpus = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    )
     c_assigned = assign_clusters(corpus, centroids, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "cluster"
     )

@@ -133,9 +133,12 @@ def test_doc_parse_prunes_json_fields(spark, entrymod):
 
 
 def test_quality_gate_zero_shuffle(spark, entrymod):
-    """The gate is a pure narrow scan: no Exchange of any kind."""
+    """The gate itself is a pure narrow scan — no hash shuffle of any
+    keyed data; the single permitted exchange is the query's
+    round-robin scan-spread (testdata arrives as one split)."""
     plan = _plan(entrymod.queries()["quality_gate"](spark, SF))
-    assert "Exchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 1
 
 
 def test_repetition_stats_no_window_two_shuffles(spark, entrymod):
